@@ -1,0 +1,65 @@
+import numpy as np
+import jax.numpy as jnp
+
+from checkerpose_tpu.ops import codes
+
+
+def test_roundtrip():
+    ids = np.arange(64)
+    c = codes.ids_to_codes(jnp.asarray(ids), 6)
+    back = codes.codes_to_ids(c)
+    np.testing.assert_array_equal(np.asarray(back), ids)
+
+
+def test_msb_first():
+    c = np.asarray(codes.ids_to_codes(jnp.asarray([1]), 3))
+    np.testing.assert_array_equal(c[0], [0, 0, 1])
+    c = np.asarray(codes.ids_to_codes(jnp.asarray([4]), 3))
+    np.testing.assert_array_equal(c[0], [1, 0, 0])
+
+
+def test_parity_with_reference_formula():
+    """id = sum_i code[i] * 2^(L-1-i), the exact reference decoding rule
+    (class_id_encoder_decoder.py:30-38)."""
+    rng = np.random.default_rng(0)
+    L = 7
+    ids = rng.integers(0, 2 ** L, size=100)
+    c = np.asarray(codes.ids_to_codes(jnp.asarray(ids), L))
+    ref = np.zeros(100)
+    for i in range(L):
+        ref += c[:, i] * 2 ** (L - 1 - i)
+    np.testing.assert_array_equal(ref.astype(int), ids)
+
+
+def test_parity_with_reference_impl():
+    """Golden parity against the actual reference codec when mounted."""
+    import os, sys
+    ref = "/root/reference/checkerpose"
+    if not os.path.isdir(ref):
+        import pytest
+        pytest.skip("reference not mounted")
+    sys.path.insert(0, ref)
+    try:
+        from binary_code_helper.class_id_encoder_decoder import (
+            class_id_vec_to_class_code_vecs, class_code_vecs_to_class_id_vec)
+    except Exception:
+        import pytest
+        pytest.skip("reference codec not importable")
+    finally:
+        sys.path.pop(0)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 64, size=50)
+    ref_codes = class_id_vec_to_class_code_vecs(ids, class_base=2, iteration=6)
+    ours = np.asarray(codes.ids_to_codes(jnp.asarray(ids), 6))
+    np.testing.assert_array_equal(ref_codes.astype(int), ours)
+    back = class_code_vecs_to_class_id_vec(ours.astype(float))
+    np.testing.assert_array_equal(back.astype(int), ids)
+
+
+def test_logits_threshold():
+    logits = jnp.asarray([[-3.0, 0.1, 2.0, -0.1]])
+    bits = np.asarray(codes.probs_to_bits(logits))
+    np.testing.assert_array_equal(bits, [[0, 1, 1, 0]])
+    # sigmoid(x) > 0.5 <=> x > 0
+    m = np.asarray(codes.logits_to_mask(logits))
+    np.testing.assert_array_equal(m, [[0.0, 1.0, 1.0, 0.0]])
