@@ -1,0 +1,50 @@
+"""Graph modules: EdgeConv over a static keypoint KNN graph.
+
+TPU-first design of the reference's `StaticGraph_module`
+(`model/init.py:54-68`): features live channel-last (B, N, C) so the 1x1 conv
+over edge features is a plain Dense -> one MXU matmul over (B*N*K, 2C);
+the neighbor gather is `x[:, knn_idx]` with a static (N, K) index, which XLA
+lowers to a single fused gather (the reference's `batch_indices` machinery,
+`model/init.py:99-102`, disappears entirely).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def gather_neighbors(x: jnp.ndarray, knn_idx) -> jnp.ndarray:
+    """x (B, N, C); knn_idx static (N, K) or per-sample traced (B, N, K).
+
+    Returns neighbor features (B, N, K, C).
+    """
+    if isinstance(knn_idx, (np.ndarray,)) or (hasattr(knn_idx, "ndim") and knn_idx.ndim == 2):
+        return x[:, knn_idx]
+    # per-sample index (multi-object LM variant): batched gather
+    idx = knn_idx[..., None]                      # (B, N, K, 1)
+    return jnp.take_along_axis(x[:, :, None, :], idx, axis=1)
+
+
+class EdgeConv(nn.Module):
+    """concat([x_j - x_i, x_i]) -> Dense (no bias) -> BN -> LeakyReLU -> max_K.
+
+    Exact compute graph of the reference StaticGraph_module
+    (`model/init.py:54-68`), channel-last.
+    """
+    features: int
+    leaky_slope: float = 0.2
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, knn_idx, train: bool):
+        xj = gather_neighbors(x, knn_idx)                       # (B, N, K, C)
+        xi = jnp.broadcast_to(x[:, :, None, :], xj.shape)
+        e = jnp.concatenate([xj - xi, xi], axis=-1)             # (B, N, K, 2C)
+        e = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="conv")(e)
+        e = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="bn")(e)
+        e = nn.leaky_relu(e.astype(self.dtype), negative_slope=self.leaky_slope)
+        return jnp.max(e, axis=2)                               # (B, N, C')

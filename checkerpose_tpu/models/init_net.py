@@ -1,0 +1,64 @@
+"""Initial keypoint localization net (coarse 8x8 binary codes).
+
+TPU-native redesign of the reference `InitNet_GNN` (`model/init.py:71-128`):
+backbone stride-32 map (B, 8, 8, C) -> 1x1 conv to npoint channels -> each
+keypoint's 8x8 response map flattened to its 64-d graph feature -> EdgeConv
+stack over the static keypoint KNN graph -> per-keypoint Dense emitting
+1 + 2*res_log2 bit logits.
+
+Output layout is (B, N, num_bits) (keypoint-major, bits last) throughout the
+framework; bit 0 = in-RoI, bits 1..res_log2 = x code (MSB first), rest = y.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+from checkerpose_tpu.models.backbone import make_backbone, CONV1X1_IN_CHANS
+from checkerpose_tpu.models.graph import EdgeConv
+
+
+class InitNet(nn.Module):
+    npoint: int
+    res_log2: int = 3
+    backbone_name: str = "resnet34"
+    num_conv1x1: int = 1
+    num_graph_module: int = 2
+    graph_leaky_slope: float = 0.2
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def num_out_bits(self) -> int:
+        return 1 + 2 * self.res_log2
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray, knn_idx, train: bool = False):
+        """img: (B, H, W, 3) normalized float. knn_idx: static (N, K) int.
+
+        Returns (bits (B, N, 1+2*res_log2) f32 logits, feats list, graph_feat
+        (B, N, 64)).
+        """
+        backbone = make_backbone(self.backbone_name, dtype=self.dtype)
+        feats = backbone(img.astype(self.dtype), train)
+        x = feats[-1]  # (B, 8, 8, C)
+
+        # 1x1 conv(s) to npoint channels (reference model/init.py:84-94)
+        x = nn.Conv(self.npoint, (1, 1), dtype=self.dtype, name="conv1x1_0")(x)
+        for i in range(1, self.num_conv1x1):
+            x = nn.leaky_relu(x, negative_slope=0.01)
+            x = nn.Conv(self.npoint, (1, 1), dtype=self.dtype, name=f"conv1x1_{i}")(x)
+
+        # per-keypoint 64-d feature = its own 8x8 map flattened
+        B, H, W, N = x.shape
+        g = x.transpose(0, 3, 1, 2).reshape(B, N, H * W)  # (B, N, 64)
+
+        for i in range(self.num_graph_module):
+            g = EdgeConv(64, self.graph_leaky_slope, dtype=self.dtype,
+                         name=f"graph_{i}")(g, knn_idx, train)
+
+        bits = nn.Dense(self.num_out_bits, dtype=jnp.float32, name="mlp")(
+            g.astype(jnp.float32))
+        return bits, feats, g
