@@ -1,0 +1,132 @@
+"""Batched RANSAC-PnP on device.
+
+TPU-native replacement for the reference's per-image
+`cv2.solvePnPRansac(SOLVEPNP_EPNP, reprojErr=2, iters=150)` and the
+Progressive-X path (`test_network_with_test_data.py:68-115`): a fixed-size
+hypothesis batch is solved and scored in parallel, then the best model is
+polished by weighted EPnP + Gauss-Newton on its inliers. vmap over images
+gives whole-test-set pose solving in one jitted call.
+
+The `use_progressivex` reference flag maps to `soft_inlier_sigma > 0`:
+inlier scoring becomes a soft sigmoid weighting followed by iterated
+reweighted refinement, which plays the same robustness role as Prog-X's
+spatial-coherence optimization without data-dependent iteration.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from checkerpose_tpu.solver.epnp import epnp, refine_pose_gn, reproj_errors
+
+
+def _sample_hypotheses(key, valid, num_hyp: int, sample_size: int):
+    """Sample `num_hyp` index sets of `sample_size` from valid points.
+
+    Gumbel-top-k over masked logits: keeps static shapes; invalid points get
+    -inf logit so they are only picked when fewer than sample_size valid
+    points exist (in which case the caller's fallback applies anyway).
+    """
+    N = valid.shape[0]
+    logits = jnp.where(valid > 0.5, 0.0, -1e9)
+    g = jax.random.gumbel(key, (num_hyp, N))
+    _, idx = jax.lax.top_k(logits[None] + g, sample_size)
+    return idx  # (num_hyp, sample_size)
+
+
+@partial(jax.jit, static_argnames=("num_hyp", "sample_size", "refine_iters",
+                                   "irls_rounds", "soft_inlier_sigma"))
+def ransac_pnp(p3d: jnp.ndarray, p2d: jnp.ndarray, valid: jnp.ndarray,
+               K: jnp.ndarray, key, num_hyp: int = 128, sample_size: int = 6,
+               reproj_thresh: float = 2.0, refine_iters: int = 8,
+               irls_rounds: int = 2, soft_inlier_sigma: float = 0.0):
+    """Robust pose from 2D-3D correspondences with validity mask.
+
+    Args:
+      p3d: (N, 3); p2d: (N, 2); valid: (N,) float {0,1}; K: (3,3).
+      num_hyp: hypothesis count (the reference's cv_max_iters=150 analog).
+      reproj_thresh: inlier threshold in pixels (reference uses 2).
+      soft_inlier_sigma: 0 = hard inliers (OpenCV-like); >0 = soft sigmoid
+        weights (Progressive-X-like robustness).
+
+    Returns dict(R (3,3), t (3,), inliers (N,) float, num_inliers (),
+    success () bool). When fewer than 4 valid points exist the reference
+    returns identity pose (`test_network_with_test_data.py:112-115`); we do
+    the same via `success`/jnp.where.
+    """
+    n_valid = jnp.sum(valid)
+
+    idx = _sample_hypotheses(key, valid, num_hyp, sample_size)      # (H, S)
+    h3d = p3d[idx]                                                   # (H, S, 3)
+    h2d = p2d[idx]
+    ones = jnp.ones(idx.shape[:2])
+
+    Rs, ts = jax.vmap(lambda a, b, w: epnp(a, b, K, w))(h3d, h2d, ones)
+    errs = jax.vmap(lambda R, t: reproj_errors(R, t, p3d, p2d, K))(Rs, ts)  # (H, N)
+    if soft_inlier_sigma > 0:
+        scores = jnp.sum(jax.nn.sigmoid((reproj_thresh - errs) / soft_inlier_sigma)
+                         * valid[None], axis=1)
+    else:
+        scores = jnp.sum((errs < reproj_thresh) * valid[None], axis=1)
+    best = jnp.argmax(scores)
+    R0, t0 = Rs[best], ts[best]
+
+    # iterated (re)weighted polish: re-estimate inliers, then Gauss-Newton
+    # warm-started from the current best pose. A fresh EPnP re-seed competes
+    # as a second candidate (useful when the best hypothesis was poor), but a
+    # warm start must never be replaced by a worse re-seed -- re-seeding
+    # unconditionally lets GN settle into nearby shallow minima.
+    def polish(carry, _):
+        R, t = carry
+        e = reproj_errors(R, t, p3d, p2d, K)
+        if soft_inlier_sigma > 0:
+            w = jax.nn.sigmoid((reproj_thresh - e) / soft_inlier_sigma) * valid
+        else:
+            w = (e < reproj_thresh).astype(jnp.float32) * valid
+        # guard: if no inliers survive keep previous estimate via weights=valid
+        w = jnp.where(jnp.sum(w) >= 4, w, valid)
+
+        def werr(R, t):
+            return jnp.sum(reproj_errors(R, t, p3d, p2d, K) * w) / (jnp.sum(w) + 1e-9)
+
+        R1, t1 = refine_pose_gn(R, t, p3d, p2d, K, w, iters=refine_iters)
+        R2, t2 = epnp(p3d, p2d, K, w)
+        R2, t2 = refine_pose_gn(R2, t2, p3d, p2d, K, w, iters=refine_iters)
+        use2 = werr(R2, t2) < werr(R1, t1)
+        Rc = jnp.where(use2, R2, R1)
+        tc = jnp.where(use2, t2, t1)
+        better = werr(Rc, tc) < werr(R, t)
+        R = jnp.where(better, Rc, R)
+        t = jnp.where(better, tc, t)
+        return (R, t), None
+
+    (Rf, tf), _ = jax.lax.scan(polish, (R0, t0), None, length=irls_rounds)
+
+    final_err = reproj_errors(Rf, tf, p3d, p2d, K)
+    inliers = (final_err < reproj_thresh).astype(jnp.float32) * valid
+    success = n_valid >= 4
+
+    eyeR = jnp.eye(3)
+    zt = jnp.zeros(3)
+    R_out = jnp.where(success, Rf, eyeR)
+    t_out = jnp.where(success, tf, zt)
+    return {"R": R_out, "t": t_out, "inliers": inliers,
+            "num_inliers": jnp.sum(inliers), "success": success}
+
+
+def solve_poses_batched(p3d, p2d, valid, K, key, **kw):
+    """vmap of ransac_pnp over a batch of images.
+
+    p3d: (N, 3) shared keypoints or (B, N, 3); p2d: (B, N, 2);
+    valid: (B, N); K: (3,3) or (B, 3, 3). Returns dict of stacked outputs.
+    """
+    B = p2d.shape[0]
+    keys = jax.random.split(key, B)
+    if p3d.ndim == 2:
+        p3d = jnp.broadcast_to(p3d[None], (B,) + p3d.shape)
+    if K.ndim == 2:
+        K = jnp.broadcast_to(K[None], (B, 3, 3))
+    return jax.vmap(lambda a, b, v, k, kk: ransac_pnp(a, b, v, k, kk, **kw))(
+        p3d, p2d, valid, K, keys)
