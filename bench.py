@@ -1,0 +1,97 @@
+"""End-to-end crop->pose inference benchmark on the flagship model.
+
+Measures crops/sec/chip through the FULL serving path on device: uint8 crop ->
+normalize -> HRNet-w18 PoseNet (512 keypoints, 3 refinement stages, bf16) ->
+binary-code decode -> batched RANSAC-EPnP pose solve. This is the pipeline the
+reference runs as: GPU forward at batch 1 + per-image OpenCV EPnP on CPU
+(`test.py:198,279-368`).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference repo publishes no throughput numbers
+(BASELINE.md). REF_CROPS_PER_SEC below is a generous estimate of the
+reference's test-time throughput on its 2021-era single GPU: batch-1
+HRNet-w18(256x256) forward ~20ms + CPU RANSAC-EPnP ~5ms => ~40 crops/s.
+vs_baseline = value / REF_CROPS_PER_SEC.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_CROPS_PER_SEC = 40.0
+BATCH = 64
+NPOINT = 512
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from checkerpose_tpu.models import PoseNet
+    from checkerpose_tpu.ops.knn import knn_index
+    from checkerpose_tpu.ops.geometry import pc_normalize
+    from checkerpose_tpu.ops import crop
+    from checkerpose_tpu.eval.decode import ids_to_correspondences
+    from checkerpose_tpu.solver.ransac import solve_poses_batched
+
+    rng = np.random.default_rng(0)
+    p3d = rng.uniform(-40, 40, (NPOINT, 3)).astype(np.float32)
+    p3dn = pc_normalize(p3d).astype(np.float32)
+    knn = knn_index(p3dn, 20)
+    net = PoseNet(npoint=NPOINT, res_log2=6, backbone_name="hrnet_w18",
+                  num_graph_module=3, init_num_graph_module=2, local_k=2)
+
+    img0 = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    variables = jax.jit(
+        net.init, static_argnames=("stage", "train"),
+    )(jax.random.PRNGKey(0), img0, knn, jnp.asarray(p3dn)[None], stage=3, train=False)
+
+    K = jnp.asarray(np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]],
+                             np.float32))
+
+    def pipeline(variables, images_u8, bbox, p3d_kp, p3d_normed, key):
+        imgs = crop.normalize_image(images_u8.astype(jnp.float32))
+        out = net.apply(variables, imgs, knn, p3d_normed, stage=3, train=False)
+        roi = (out["roi_logit"][..., 0] > 0.0).astype(jnp.float32)
+        p2d, valid = ids_to_correspondences(
+            out["x_id"], out["y_id"], roi, bbox, crop_size_gt=64,
+            seg_mask=jax.nn.sigmoid(out["seg_logits"][..., 0]), check_seg=True)
+        sol = solve_poses_batched(p3d_kp, p2d, valid, K, key, num_hyp=128)
+        return sol["R"], sol["t"], sol["num_inliers"]
+
+    fn = jax.jit(pipeline)
+    images = jnp.asarray(rng.integers(0, 255, (BATCH, 256, 256, 3)), jnp.uint8)
+    bbox = jnp.tile(jnp.asarray([50., 60., 130., 130.]), (BATCH, 1))
+    p3dj = jnp.asarray(p3d)
+    p3dnj = jnp.tile(jnp.asarray(p3dn)[None], (BATCH, 1, 1))
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    R, t, ni = fn(variables, images, bbox, p3dj, p3dnj, key)
+    R.block_until_ready()
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        R, t, ni = fn(variables, images, bbox, p3dj, p3dnj,
+                      jax.random.fold_in(key, i))
+    R.block_until_ready()
+    dt = time.perf_counter() - t0
+    crops_per_sec = BATCH * n_iters / dt
+
+    print(json.dumps({
+        "metric": "crop_to_pose_throughput",
+        "value": round(crops_per_sec, 2),
+        "unit": "crops/sec/chip",
+        "vs_baseline": round(crops_per_sec / REF_CROPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

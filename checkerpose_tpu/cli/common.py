@@ -1,0 +1,210 @@
+"""Shared CLI plumbing: config-driven dataset/model construction.
+
+Mirrors the reference entry points' setup blocks (`pretrain.py:32-218`,
+`train.py:43-248`) with the same cfg keys and path-derivation conventions
+(`train.py:381-411`: checkpoint/tensorboard dirs are
+<base>/<cfg_name>/<obj_name>).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from checkerpose_tpu.config import parse_cfg
+from checkerpose_tpu.data.bop_io import scan_bop_object, scan_bop_targets, load_models_info
+from checkerpose_tpu.data.dataset import CropDataset, Loader, MixedLoader, mixed_batch_sizes
+from checkerpose_tpu.data.dataset_info import get_obj_info
+from checkerpose_tpu.data.detections import load_detections, attach_detections
+from checkerpose_tpu.data.fps import load_keypoints_normed
+from checkerpose_tpu.ops.knn import knn_index
+
+
+def resolve_cfg(cfg_path: str, obj_name: str, overrides: Optional[Dict] = None) -> Dict:
+    cfg = parse_cfg(cfg_path)
+    cfg["config_file_name"] = os.path.splitext(os.path.basename(cfg_path))[0]
+    cfg["obj_name"] = obj_name
+    if overrides:
+        cfg.update({k: v for k, v in overrides.items() if v is not None})
+    names, syms = get_obj_info(cfg["dataset_name"])
+    cfg["obj_id"] = names[obj_name]
+    cfg["is_symmetric"] = obj_name in syms
+    # derived artifact dirs: <base>/<cfg_name>/<obj_name>
+    for key, base in (("check_point_path", "experiments/checkpoints"),
+                      ("tensorboard_path", "experiments/tensorboard_logs/runs")):
+        root = cfg.get(key, base)
+        cfg[key] = os.path.join(root, cfg["config_file_name"], obj_name)
+    return cfg
+
+
+def load_keypoints(cfg: Dict):
+    num_p3d = 2 ** int(cfg["num_p3d_log2"])
+    xyz, normed = load_keypoints_normed(cfg["bop_path"], cfg["dataset_name"],
+                                        cfg["obj_id"], num_p3d,
+                                        cfg.get("fps_version", "fps_202212"))
+    graph_k = int(cfg.get("network_graph_k", cfg.get("init_network_graph_k", 20)))
+    knn = knn_index(normed, min(graph_k, len(normed)))
+    return xyz, normed, knn
+
+
+def build_train_loaders(cfg: Dict, xyz: np.ndarray, seed: int = 0):
+    """Train loader (optionally mixing two folders at second_dataset_ratio)
+    + validation loader."""
+    crop_img = int(cfg.get("BoundingBox_CropSize_image", 256))
+    crop_gt = int(cfg.get("BoundingBox_CropSize_GT", 2 ** int(cfg.get("network_res_log2", 6))))
+    common = dict(crop_size_img=crop_img, crop_size_gt=crop_gt,
+                  padding_ratio=float(cfg.get("padding_ratio", 1.5)),
+                  resize_method=cfg.get("resize_method", "crop_square_resize"))
+    vt = float(cfg.get("train_obj_visible_theshold", 0.1))
+    batch = int(cfg["batch_size"])
+
+    s1 = scan_bop_object(cfg["bop_path"], cfg["dataset_name"],
+                         cfg["training_data_folder"], cfg["obj_id"], vt)
+    folder2 = cfg.get("training_data_folder_2", "none")
+    if folder2 and folder2 != "none":
+        s2 = scan_bop_object(cfg["bop_path"], cfg["dataset_name"], folder2,
+                             cfg["obj_id"], vt)
+        b1, b2 = mixed_batch_sizes(batch, float(cfg.get("second_dataset_ratio", 0.75)))
+        l1 = Loader(CropDataset(s1, xyz, is_train=True, seed=seed, **common),
+                    b1, shuffle=True, infinite=True, seed=seed)
+        l2 = Loader(CropDataset(s2, xyz, is_train=True, seed=seed + 1, **common),
+                    b2, shuffle=True, infinite=True, seed=seed + 1)
+        train_loader = MixedLoader(l1, l2)
+    else:
+        train_loader = Loader(CropDataset(s1, xyz, is_train=True, seed=seed, **common),
+                              batch, shuffle=True, infinite=True, seed=seed)
+
+    sv = scan_bop_object(cfg["bop_path"], cfg["dataset_name"],
+                         cfg.get("val_folder", "test"), cfg["obj_id"], 0.1)
+    val_ds = CropDataset(sv, xyz, is_train=False, **common)
+    val_loader_factory = lambda: Loader(val_ds, batch, shuffle=False,  # noqa: E731
+                                        drop_last=False, infinite=False)
+    return train_loader, val_loader_factory
+
+
+def build_test_loader(cfg: Dict, xyz: np.ndarray, batch_size: int = 16,
+                      crop_gt: Optional[int] = None):
+    crop_img = int(cfg.get("BoundingBox_CropSize_image", 256))
+    crop_gt = crop_gt or 2 ** int(cfg.get("network_res_log2", 6))
+    if cfg.get("bop_challange", False):
+        samples = scan_bop_targets(cfg["bop_path"], cfg["dataset_name"],
+                                   cfg["obj_id"], cfg.get("test_folder", "test"))
+    else:
+        samples = scan_bop_object(cfg["bop_path"], cfg["dataset_name"],
+                                  cfg.get("test_folder", "test"), cfg["obj_id"], 0.1)
+    det_path = cfg.get("Detection_reaults", "none")
+    use_det = bool(det_path) and det_path != "none"
+    if use_det:
+        det = load_detections(det_path, cfg["obj_id"])
+        samples = attach_detections(samples, det)
+    ds = CropDataset(samples, xyz, is_train=False, crop_size_img=crop_img,
+                     crop_size_gt=crop_gt,
+                     padding_ratio=float(cfg.get("padding_ratio", 1.5)),
+                     resize_method=cfg.get("resize_method", "crop_square_resize"),
+                     use_detections=use_det)
+    return Loader(ds, batch_size, shuffle=False, drop_last=False, infinite=False), samples
+
+
+def object_diameter(cfg: Dict) -> float:
+    info = load_models_info(cfg["bop_path"], cfg["dataset_name"], eval_models=False)
+    return float(info[cfg["obj_id"]]["diameter"])
+
+
+# ---------------------------------------------------------------------------
+# multi-object (LM 13-object shared estimator)
+# ---------------------------------------------------------------------------
+
+def resolve_cfg_lm(cfg_path: str, overrides: Optional[Dict] = None) -> Dict:
+    """LM config: one shared estimator over the 13 Linemod objects
+    (reference `train_lm.py`, `lm_dataset_pytorch.py`)."""
+    from checkerpose_tpu.data.dataset_info import LM13_OBJECTS
+    cfg = parse_cfg(cfg_path)
+    cfg["config_file_name"] = os.path.splitext(os.path.basename(cfg_path))[0]
+    if overrides:
+        cfg.update({k: v for k, v in overrides.items() if v is not None})
+    cfg.setdefault("dataset_name", "lm")
+    # the reference's LM configs use `datasets_root` instead of bop_path
+    if "bop_path" not in cfg and "datasets_root" in cfg:
+        cfg["bop_path"] = cfg["datasets_root"]
+    names, syms = get_obj_info(cfg["dataset_name"])
+    cfg["obj_names"] = list(cfg.get("obj_names") or LM13_OBJECTS)
+    cfg["obj_ids"] = [names[n] for n in cfg["obj_names"]]
+    cfg["symmetric_names"] = set(syms)
+    for key, base in (("check_point_path", "experiments/checkpoints"),
+                      ("tensorboard_path", "experiments/tensorboard_logs/runs")):
+        root = cfg.get(key, base)
+        cfg[key] = os.path.join(root, cfg["config_file_name"], "lm13")
+    return cfg
+
+
+def load_keypoints_lm(cfg: Dict):
+    """Stacked per-object tables: ({obj_id: (N,3)} mm, p3d_normed (O,N,3),
+    knn (O,N,K)). Rows are ordered by sorted obj_id -- the same order
+    CropDataset assigns obj_idx."""
+    from checkerpose_tpu.ops.geometry import pc_normalize
+    num_p3d = 2 ** int(cfg["num_p3d_log2"])
+    graph_k = int(cfg.get("network_graph_k", cfg.get("init_network_graph_k", 20)))
+    table = {}
+    normed_rows, knn_rows = [], []
+    for obj_id in sorted(cfg["obj_ids"]):
+        xyz = load_keypoints_normed(cfg["bop_path"], cfg["dataset_name"],
+                                    obj_id, num_p3d,
+                                    cfg.get("fps_version", "fps_202212"))[0]
+        table[obj_id] = xyz
+        normed = pc_normalize(xyz.astype(np.float64)).astype(np.float32)
+        normed_rows.append(normed)
+        knn_rows.append(knn_index(normed, min(graph_k, num_p3d)))
+    return table, np.stack(normed_rows), np.stack(knn_rows)
+
+
+def build_train_loaders_lm(cfg: Dict, p3d_table: Dict, seed: int = 0):
+    """Combined multi-object train loader + per-object val loader factories."""
+    crop_img = int(cfg.get("BoundingBox_CropSize_image", 256))
+    crop_gt = int(cfg.get("BoundingBox_CropSize_GT",
+                          2 ** int(cfg.get("network_res_log2", 6))))
+    common_kw = dict(crop_size_img=crop_img, crop_size_gt=crop_gt,
+                     padding_ratio=float(cfg.get("padding_ratio", 1.5)),
+                     resize_method=cfg.get("resize_method", "crop_square_resize"))
+    vt = float(cfg.get("train_obj_visible_theshold", 0.1))
+    batch = int(cfg["batch_size"])
+    bg_paths = None
+    bg_root = cfg.get("voc_background_root") or cfg.get("background_root")
+    if bg_root and os.path.isdir(str(bg_root)):
+        bg_paths = sorted(
+            os.path.join(bg_root, f) for f in os.listdir(bg_root)
+            if f.lower().endswith((".jpg", ".png", ".jpeg")))
+    change_bg_prob = float(cfg.get("change_bg_prob", 0.0))
+
+    def gather(folder):
+        out = []
+        for obj_id in sorted(cfg["obj_ids"]):
+            out.extend(scan_bop_object(cfg["bop_path"], cfg["dataset_name"],
+                                       folder, obj_id, vt))
+        return out
+
+    s1 = gather(cfg["training_data_folder"])
+    folder2 = cfg.get("training_data_folder_2", "none")
+    if folder2 and folder2 != "none":
+        s2 = gather(folder2)
+        b1, b2 = mixed_batch_sizes(batch, float(cfg.get("second_dataset_ratio", 0.75)))
+        l1 = Loader(CropDataset(s1, p3d_table, is_train=True, seed=seed,
+                                bg_paths=bg_paths, change_bg_prob=change_bg_prob,
+                                **common_kw), b1, shuffle=True, infinite=True, seed=seed)
+        l2 = Loader(CropDataset(s2, p3d_table, is_train=True, seed=seed + 1,
+                                bg_paths=bg_paths, change_bg_prob=change_bg_prob,
+                                **common_kw), b2, shuffle=True, infinite=True, seed=seed + 1)
+        train_loader = MixedLoader(l1, l2)
+    else:
+        train_loader = Loader(CropDataset(s1, p3d_table, is_train=True, seed=seed,
+                                          bg_paths=bg_paths,
+                                          change_bg_prob=change_bg_prob, **common_kw),
+                              batch, shuffle=True, infinite=True, seed=seed)
+
+    def val_loader_factory(obj_id):
+        sv = scan_bop_object(cfg["bop_path"], cfg["dataset_name"],
+                             cfg.get("val_folder", "test"), obj_id, 0.1)
+        ds = CropDataset(sv, p3d_table, is_train=False, **common_kw)
+        return Loader(ds, batch, shuffle=False, drop_last=False, infinite=False)
+
+    return train_loader, val_loader_factory

@@ -1,0 +1,118 @@
+"""Offline evaluation + BOP CSV export for one object.
+
+CLI mirror of the reference `test.py` (`test.py:547-590`):
+  python -m checkerpose_tpu.cli.test --cfg <cfg.txt> --obj_name ape \
+      [--ckpt_dir <dir>] [--use_progressivex] [--eval_output_path out/]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from checkerpose_tpu.cli import common
+from checkerpose_tpu.cli.train import build_pose_net
+from checkerpose_tpu.data.bop_io import model_ply_path
+from checkerpose_tpu.data.ply import load_ply_vertices
+from checkerpose_tpu.eval.csv_writer import write_csv
+from checkerpose_tpu.eval.harness import evaluate_pipeline
+from checkerpose_tpu.train.checkpoint import CheckpointManager
+from checkerpose_tpu.train.state import create_pose_state, make_optimizer
+
+
+def main(cfg):
+    xyz, normed, knn = common.load_keypoints(cfg)
+    npoint = xyz.shape[0]
+    crop_img = int(cfg.get("BoundingBox_CropSize_image", 256))
+    net = build_pose_net(cfg, npoint)
+    opt = make_optimizer(1e-4)
+    state = create_pose_state(net, knn, crop_img, opt, npoint)
+
+    ckpt_dir = cfg.get("ckpt_dir") or cfg["check_point_path"]
+    mgr = CheckpointManager(ckpt_dir)
+    try:
+        state = mgr.restore(state, best=True)
+        print(f"loaded BEST checkpoint (step {state.step}) from {ckpt_dir}")
+    except FileNotFoundError:
+        state = mgr.restore(state)
+        print(f"loaded latest checkpoint (step {state.step}) from {ckpt_dir}")
+
+    res = 2 ** net.res_log2
+    loader, samples = common.build_test_loader(
+        cfg, xyz, batch_size=int(cfg.get("test_batch_size", 16)), crop_gt=res)
+
+    # ADD/ADI over eval-model vertices when available, else the keypoints
+    try:
+        verts = load_ply_vertices(model_ply_path(cfg["bop_path"], cfg["dataset_name"],
+                                                 cfg["obj_id"], eval_models=True))
+        if len(verts) > 8192:
+            verts = verts[np.random.default_rng(0).choice(len(verts), 8192, False)]
+    except Exception:
+        verts = xyz
+    diameter = common.object_diameter(cfg)
+
+    p3dn = normed.astype(np.float32)
+
+    def with_p3d(loader):
+        for batch in loader:
+            B = batch["image"].shape[0]
+            batch["p3d_normed"] = np.broadcast_to(p3dn[None], (B,) + p3dn.shape).copy()
+            yield batch
+
+    report = evaluate_pipeline(
+        net, knn, state.variables(), with_p3d(loader), xyz, diameter,
+        stage=net.num_refine_steps, use_adi=cfg.get("is_symmetric", False),
+        vertices=verts.astype(np.float32),
+        num_hyp=int(cfg.get("pnp_num_hyp", 128)),
+        reproj_thresh=float(cfg.get("pnp_reproj_thresh", 2.0)),
+        soft_inlier_sigma=(0.5 if cfg.get("use_progressivex", False) else 0.0),
+        discard_bd_pixel=int(cfg.get("ignore_bit", 0)),
+        main_filter=cfg.get("main_filter", "visib"))
+
+    out_dir = cfg.get("eval_output_path", "eval_output")
+    os.makedirs(out_dir, exist_ok=True)
+    tag = f"{cfg['config_file_name']}_{cfg['obj_name']}"
+    # score txt (reference test.py:530-537)
+    with open(os.path.join(out_dir, f"score_{tag}.txt"), "w") as f:
+        for mode in ("none", "full", "visib"):
+            if mode in report:
+                f.write(f"[{mode}] " + " ".join(
+                    f"{k}={v:.4f}" for k, v in report[mode].items()) + "\n")
+        f.write(f"seg_acc={report['seg_acc']:.4f} seg_iou={report['seg_iou']:.4f}\n")
+        f.write(f"test_acc={report['test_acc']:.4f}\n")
+    with open(os.path.join(out_dir, f"report_{tag}.json"), "w") as f:
+        json.dump({k: v for k, v in report.items() if k != "poses"}, f, indent=2)
+    # BOP19 CSV (reference test.py:539-544)
+    poses = report["poses"]
+    write_csv(out_dir, tag, cfg["obj_id"],
+              [p["scene_id"] for p in poses], [p["im_id"] for p in poses],
+              [p["R"] for p in poses], [p["t"] for p in poses],
+              [p["score"] for p in poses])
+    print(json.dumps({k: v for k, v in report.items() if k != "poses"}, indent=2))
+    return report
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="evaluate pose net + export BOP CSV (TPU)")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--obj_name", required=True)
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--eval_output_path", default=None)
+    p.add_argument("--use_progressivex", action="store_true")
+    p.add_argument("--ignore_bit", type=int, default=None)
+    p.add_argument("--test_batch_size", type=int, default=None)
+    return p.parse_args()
+
+
+if __name__ == "__main__":
+    args = parse_args()
+    cfg = common.resolve_cfg(args.cfg, args.obj_name, {
+        "ckpt_dir": args.ckpt_dir,
+        "eval_output_path": args.eval_output_path,
+        "use_progressivex": args.use_progressivex or None,
+        "ignore_bit": args.ignore_bit,
+        "test_batch_size": args.test_batch_size,
+    })
+    main(cfg)

@@ -1,0 +1,97 @@
+"""Offline evaluation of the LM 13-object estimator.
+
+CLI mirror of the reference `test_lm.py`: per-object sweeps with
+symmetry-aware rotation error (closest symmetric rotation), rete/re/te @2/@5
+metrics, adx filter choice, per-object averaging.
+  python -m checkerpose_tpu.cli.test_lm --cfg <cfg.txt>
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from checkerpose_tpu.cli import common
+from checkerpose_tpu.cli.train_lm import build_pose_net_lm
+from checkerpose_tpu.data.bop_io import load_models_info
+from checkerpose_tpu.eval.harness import evaluate_pipeline
+from checkerpose_tpu.eval import metrics as M
+from checkerpose_tpu.train.checkpoint import CheckpointManager
+from checkerpose_tpu.train.state import create_pose_state, make_optimizer
+
+
+def main(cfg):
+    p3d_table, p3dn_stack, knn_stack = common.load_keypoints_lm(cfg)
+    npoint = p3dn_stack.shape[1]
+    crop_img = int(cfg.get("BoundingBox_CropSize_image", 256))
+    net, full_bits = build_pose_net_lm(cfg, npoint)
+    opt = make_optimizer(1e-4)
+    state = create_pose_state(net, knn_stack[0], crop_img, opt, npoint)
+    mgr = CheckpointManager(cfg.get("ckpt_dir") or cfg["check_point_path"])
+    try:
+        state = mgr.restore(state, best=True)
+    except FileNotFoundError:
+        state = mgr.restore(state)
+    print(f"loaded checkpoint step {state.step}")
+
+    sorted_ids = sorted(cfg["obj_ids"])
+    id_to_name = {oid: n for n, oid in zip(cfg["obj_names"], cfg["obj_ids"])}
+    minfo = load_models_info(cfg["bop_path"], cfg["dataset_name"])
+    adx_type = cfg.get("adx_type", "default")  # default|full|visib filter
+    main_filter = {"default": "none", "full": "full", "visib": "visib"}[adx_type]
+
+    def with_p3d(loader):
+        for batch in loader:
+            batch["p3d_normed"] = p3dn_stack[batch["obj_idx"]]
+            yield batch
+
+    per_obj = {}
+    for obj_id in sorted_ids:
+        name = id_to_name[obj_id]
+        cfg_obj = dict(cfg)
+        cfg_obj["obj_id"] = obj_id
+        loader, _ = common.build_test_loader(cfg_obj, p3d_table[obj_id],
+                                             batch_size=int(cfg.get("test_batch_size", 16)),
+                                             crop_gt=2 ** net.res_log2)
+        # swap in the multi-object p3d table so obj_idx rows match training
+        loader.ds.p3d_table = {k: np.asarray(v, np.float64) for k, v in p3d_table.items()}
+        loader.ds.obj_id_to_idx = {oid: i for i, oid in enumerate(sorted_ids)}
+        r = evaluate_pipeline(
+            net, knn_stack, state.variables(), with_p3d(loader),
+            p3d_table[obj_id], float(minfo[obj_id]["diameter"]),
+            stage=net.num_refine_steps,
+            use_adi=(name in cfg["symmetric_names"]),
+            main_filter=main_filter,
+            num_hyp=int(cfg.get("pnp_num_hyp", 128)),
+            soft_inlier_sigma=(0.5 if cfg.get("use_progressivex", False) else 0.0))
+        per_obj[name] = {k: v for k, v in r[main_filter].items()}
+        per_obj[name]["seg_iou"] = r["seg_iou"]
+        print(name, json.dumps(per_obj[name]))
+
+    avg = {k: float(np.mean([v[k] for v in per_obj.values()]))
+           for k in next(iter(per_obj.values()))}
+    out_dir = cfg.get("eval_output_path", "eval_output")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"report_lm_{cfg['config_file_name']}.json"), "w") as f:
+        json.dump({"per_object": per_obj, "average": avg}, f, indent=2)
+    print("AVERAGE:", json.dumps(avg, indent=2))
+    return per_obj, avg
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser(description="evaluate LM 13-object estimator (TPU)")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--eval_output_path", default=None)
+    p.add_argument("--use_progressivex", action="store_true")
+    p.add_argument("--adx_type", default=None, choices=[None, "default", "full", "visib"])
+    args = p.parse_args()
+    cfg = common.resolve_cfg_lm(args.cfg, {
+        "ckpt_dir": args.ckpt_dir,
+        "eval_output_path": args.eval_output_path,
+        "use_progressivex": args.use_progressivex or None,
+        "adx_type": args.adx_type,
+    })
+    main(cfg)

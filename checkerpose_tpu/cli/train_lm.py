@@ -1,0 +1,131 @@
+"""Train the full progressive network across the 13 LM objects.
+
+CLI mirror of the reference `train_lm.py`:
+  python -m checkerpose_tpu.cli.train_lm --cfg <cfg.txt>
+Two-phase LR (learning_rate -> learning_rate2 at learning_rate2_start) and
+per-object validation averaging included. `network_type =
+vanilla_GNNskip_ABwoProg` selects the no-progressive-localization ablation.
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from checkerpose_tpu.cli import common
+from checkerpose_tpu.config import stage_start_steps, get_train_stage
+from checkerpose_tpu.models import PoseNet
+from checkerpose_tpu.models.ablation import PoseNetWoProg
+from checkerpose_tpu.train import steps
+from checkerpose_tpu.train.checkpoint import CheckpointManager
+from checkerpose_tpu.train.loop import run_training
+from checkerpose_tpu.train.state import create_pose_state, make_optimizer, param_count
+from checkerpose_tpu.eval.harness import evaluate_pipeline
+from checkerpose_tpu.utils.logging import MetricWriter
+
+
+def build_pose_net_lm(cfg, npoint: int):
+    kw = dict(
+        npoint=npoint,
+        res_log2=int(cfg.get("network_res_log2", 6)),
+        backbone_name=cfg.get("init_network_backbone_name", "resnet34"),
+        leaky_slope=float(cfg.get("network_leaky_slope", 0.01)),
+        num_graph_module=int(cfg.get("network_num_graph_module", 2)),
+        graph_leaky_slope=float(cfg.get("network_graph_leaky_slope", 0.2)),
+        init_num_conv1x1=int(cfg.get("init_network_num_conv1x1", 1)),
+        init_num_graph_module=int(cfg.get("init_network_num_graph_module", 2)),
+        init_graph_leaky_slope=float(cfg.get("init_network_graph_leaky_slope", 0.2)),
+    )
+    if cfg.get("network_type", "vanilla_GNNskip") == "vanilla_GNNskip_ABwoProg":
+        return PoseNetWoProg(**kw), True
+    return PoseNet(local_k=int(cfg.get("network_local_k", 2)), **kw), False
+
+
+def main(cfg):
+    p3d_table, p3dn_stack, knn_stack = common.load_keypoints_lm(cfg)
+    npoint = p3dn_stack.shape[1]
+    crop_img = int(cfg.get("BoundingBox_CropSize_image", 256))
+    net, full_bits = build_pose_net_lm(cfg, npoint)
+
+    opt = make_optimizer(float(cfg["learning_rate"]),
+                         cfg.get("learning_rate2"), cfg.get("learning_rate2_start"))
+    from checkerpose_tpu.cli.train import load_pretrained_init
+    init_bundle = load_pretrained_init(cfg, knn_stack[0], crop_img)
+    state = create_pose_state(net, knn_stack[0], crop_img, opt, npoint,
+                              init_params=init_bundle)
+    print(f"#parameters: {param_count(state.params):.2f}M", flush=True)
+
+    ckpt = CheckpointManager(cfg["check_point_path"])
+    if cfg.get("load_checkpoint", False) and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+
+    train_loader, val_loader_factory = common.build_train_loaders_lm(cfg, p3d_table)
+    starts = stage_start_steps(cfg) or tuple([0] * net.num_refine_steps)
+
+    step_fns = {}
+    for stage in range(1, net.num_refine_steps + 1):
+        step_fns[stage] = steps.make_train_step(
+            net, knn_stack, opt, stage=stage,
+            roi_loss_type=cfg.get("RoiBit_Loss_Type", "BCE"),
+            proj_loss_type=cfg.get("ProjBit_Loss_Type", "BCE"),
+            seg_visib_loss_weight=float(cfg.get("seg_visib_loss_weight", 1.0)),
+            seg_full_loss_weight=float(cfg.get("seg_full_loss_weight", 1.0)),
+            use_pepper_salt=bool(cfg.get("use_peper_salt", True)),
+            use_motion_blur=bool(cfg.get("use_motion_blur", True)),
+            full_bits=full_bits)
+
+    writer = MetricWriter(cfg["tensorboard_path"])
+    sorted_ids = sorted(cfg["obj_ids"])
+    id_to_name = {oid: n for n, oid in zip(cfg["obj_names"], cfg["obj_ids"])}
+    from checkerpose_tpu.data.bop_io import load_models_info
+    minfo = load_models_info(cfg["bop_path"], cfg["dataset_name"])
+
+    def extra_batch(batch):
+        batch["p3d_normed"] = p3dn_stack[batch["obj_idx"]]
+        return batch
+
+    def with_p3d(loader):
+        for batch in loader:
+            batch["p3d_normed"] = p3dn_stack[batch["obj_idx"]]
+            yield batch
+
+    def eval_fn(variables):
+        accs = {}
+        for obj_id in sorted_ids:
+            name = id_to_name[obj_id]
+            r = evaluate_pipeline(
+                net, knn_stack, variables, with_p3d(val_loader_factory(obj_id)),
+                p3d_table[obj_id], float(minfo[obj_id]["diameter"]),
+                stage=net.num_refine_steps,
+                use_adi=(name in cfg["symmetric_names"]),
+                filter_modes=("visib",), main_filter="visib")
+            accs[name] = r["test_acc"]
+        mean = float(np.mean(list(accs.values())))
+        print("per-object adx10:", {k: round(v, 4) for k, v in accs.items()})
+        return {"test_acc": mean}
+
+    state = run_training(
+        state=state, step_fns=step_fns, loader=train_loader,
+        total_iteration=int(cfg["total_iteration"]), eval_fn=eval_fn,
+        ckpt=ckpt, writer=writer,
+        log_freq=int(cfg.get("log_freq", 1000)),
+        test_freq=int(cfg.get("test_freq", 10000)),
+        get_stage=lambda s: max(1, get_train_stage(s, starts)),
+        extra_batch=extra_batch)
+    writer.close()
+    return state
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser(description="train LM 13-object pose net (TPU)")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--load_checkpoint", action="store_true")
+    p.add_argument("--total_iteration", type=int, default=None)
+    p.add_argument("--test_freq", type=int, default=None)
+    args = p.parse_args()
+    cfg = common.resolve_cfg_lm(args.cfg, {
+        "load_checkpoint": args.load_checkpoint or None,
+        "total_iteration": args.total_iteration,
+        "test_freq": args.test_freq,
+    })
+    main(cfg)

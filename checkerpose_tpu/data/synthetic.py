@@ -1,0 +1,180 @@
+"""Synthetic BOP dataset fixture.
+
+Generates a tiny but complete BOP-layout dataset on disk (scenes, masks, GT
+jsons, models + models_info, FPS keypoints, detection results) so that the
+train/test entry points and the eval harness run end-to-end without the real
+BOP data (which is not shipped). This implements the test strategy SURVEY.md
+§4 prescribes (the reference has no such fixture -- or any tests).
+
+Objects are convex polyhedra (noisy icospheres); images are the filled
+projected hull with flat shading on a textured background. Analytic GT: mask =
+filled hull, bbox from mask, depth-based visibility is approximated as full
+visibility (single object per scene here).
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+from checkerpose_tpu.data.ply import save_ply_vertices
+
+K_DEFAULT = np.array([[572.4114, 0.0, 325.2611],
+                      [0.0, 573.57043, 242.04899],
+                      [0.0, 0.0, 1.0]])
+IM_W, IM_H = 640, 480
+
+
+def _make_object(rng, radius=40.0, n=64):
+    """Noisy convex blob: points on a sphere with radial jitter."""
+    v = rng.standard_normal((n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    r = radius * (1.0 + 0.25 * rng.random(n))
+    return v * r[:, None]
+
+
+def _random_rotation(rng):
+    A = rng.standard_normal((3, 3))
+    Q, _ = np.linalg.qr(A)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    return Q
+
+
+def _render(verts, R, t, K, rng, color):
+    cam = verts @ R.T + t[None]
+    uv = cam @ K.T
+    uv = (uv[:, :2] / uv[:, 2:3]).astype(np.int32)
+    img = (rng.integers(40, 200, (IM_H, IM_W, 3))).astype(np.uint8)
+    # mild background structure
+    img[:, ::7] = img[:, ::7] // 2
+    mask = np.zeros((IM_H, IM_W), np.uint8)
+    hull = cv2.convexHull(uv)
+    cv2.fillConvexPoly(mask, hull, 255)
+    obj_px = mask > 0
+    # flat shading modulated by x coordinate for some texture
+    shade = np.clip((np.arange(IM_W)[None, :] % 64) * 2 + 96, 0, 255).astype(np.uint8)
+    shade = np.broadcast_to(shade, (IM_H, IM_W))
+    for c in range(3):
+        ch = img[:, :, c]
+        ch[obj_px] = (int(color[c]) * shade[obj_px].astype(np.int32)) // 255
+    return img, mask
+
+
+def make_synthetic_bop(root: str, dataset: str = "synth", n_objects: int = 2,
+                       n_scenes: int = 2, n_images: int = 8, seed: int = 0,
+                       folders=("train_real", "train_pbr", "test")):
+    """Write a complete miniature BOP dataset under `<root>/<dataset>`.
+
+    Returns the dataset directory. Layout matches what scan_bop_object /
+    load_detections / load_fps_points expect.
+    """
+    assert cv2 is not None, "synthetic fixture requires cv2"
+    rng = np.random.default_rng(seed)
+    ds_dir = os.path.join(root, dataset)
+    models_dir = os.path.join(ds_dir, "models")
+    os.makedirs(models_dir, exist_ok=True)
+
+    # objects + models_info + fps keypoints
+    models_info = {}
+    objects = {}
+    fps_dir = os.path.join(ds_dir, "fps_202212")
+    os.makedirs(fps_dir, exist_ok=True)
+    from checkerpose_tpu.ops.geometry import farthest_point_sample
+    for obj_id in range(1, n_objects + 1):
+        verts = _make_object(rng)
+        objects[obj_id] = verts
+        save_ply_vertices(os.path.join(models_dir, f"obj_{obj_id:06d}.ply"), verts)
+        d = np.linalg.norm(verts[:, None] - verts[None], axis=-1).max()
+        models_info[str(obj_id)] = {
+            "diameter": float(d),
+            "min_x": float(verts[:, 0].min()), "max_x": float(verts[:, 0].max()),
+            "min_y": float(verts[:, 1].min()), "max_y": float(verts[:, 1].max()),
+            "min_z": float(verts[:, 2].min()), "max_z": float(verts[:, 2].max()),
+        }
+        npt = min(512, len(verts))
+        idx = farthest_point_sample(verts, npt)
+        with open(os.path.join(fps_dir, f"obj_{obj_id:06d}.pkl"), "wb") as f:
+            pickle.dump({"npoint": npt, "id": idx, "xyz": verts[idx]}, f)
+    with open(os.path.join(models_dir, "models_info.json"), "w") as f:
+        json.dump(models_info, f)
+    # models_eval = same models (fine at this scale)
+    eval_dir = os.path.join(ds_dir, "models_eval")
+    os.makedirs(eval_dir, exist_ok=True)
+    for obj_id in range(1, n_objects + 1):
+        save_ply_vertices(os.path.join(eval_dir, f"obj_{obj_id:06d}.ply"), objects[obj_id])
+    with open(os.path.join(eval_dir, "models_info.json"), "w") as f:
+        json.dump(models_info, f)
+    with open(os.path.join(ds_dir, "camera.json"), "w") as f:
+        json.dump({"cx": K_DEFAULT[0, 2], "cy": K_DEFAULT[1, 2],
+                   "fx": K_DEFAULT[0, 0], "fy": K_DEFAULT[1, 1],
+                   "width": IM_W, "height": IM_H, "depth_scale": 1.0}, f)
+
+    colors = [(220, 60, 60), (60, 200, 80), (90, 90, 230), (230, 200, 60)]
+    detections = {}
+    targets = []
+    for folder in folders:
+        for scene_id in range(n_scenes):
+            scene_dir = os.path.join(ds_dir, folder, f"{scene_id:06d}")
+            for sub in ("rgb", "mask", "mask_visib"):
+                os.makedirs(os.path.join(scene_dir, sub), exist_ok=True)
+            scene_camera, scene_gt, scene_gt_info = {}, {}, {}
+            for im_id in range(n_images):
+                obj_id = (im_id % n_objects) + 1
+                verts = objects[obj_id]
+                R = _random_rotation(rng)
+                t = np.array([rng.uniform(-60, 60), rng.uniform(-40, 40),
+                              rng.uniform(350, 550)])
+                img, mask = _render(verts, R, t, K_DEFAULT, rng, colors[obj_id - 1])
+                ys, xs = np.nonzero(mask)
+                bbox = [int(xs.min()), int(ys.min()),
+                        int(xs.max() - xs.min() + 1), int(ys.max() - ys.min() + 1)]
+                cv2.imwrite(os.path.join(scene_dir, "rgb", f"{im_id:06d}.png"), img)
+                cv2.imwrite(os.path.join(scene_dir, "mask", f"{im_id:06d}_000000.png"), mask)
+                cv2.imwrite(os.path.join(scene_dir, "mask_visib", f"{im_id:06d}_000000.png"), mask)
+                scene_camera[str(im_id)] = {"cam_K": K_DEFAULT.reshape(-1).tolist(),
+                                            "depth_scale": 1.0}
+                scene_gt[str(im_id)] = [{
+                    "obj_id": obj_id,
+                    "cam_R_m2c": R.reshape(-1).tolist(),
+                    "cam_t_m2c": t.tolist(),
+                }]
+                scene_gt_info[str(im_id)] = [{
+                    "bbox_obj": bbox, "bbox_visib": bbox,
+                    "px_count_all": int(mask.sum() // 255),
+                    "px_count_visib": int(mask.sum() // 255),
+                    "visib_fract": 1.0,
+                }]
+                if folder == "test":
+                    # jittered detector boxes, one slightly-worse duplicate
+                    jit = rng.integers(-6, 7, 4)
+                    det_bbox = [int(bbox[0] + jit[0]), int(bbox[1] + jit[1]),
+                                int(bbox[2] + jit[2]), int(bbox[3] + jit[3])]
+                    detections[f"{scene_id}/{im_id}"] = [
+                        {"obj_id": obj_id, "bbox_est": det_bbox, "score": 0.9,
+                         "time": 0.05},
+                        {"obj_id": obj_id, "bbox_est": bbox, "score": 0.5,
+                         "time": 0.05},
+                    ]
+                    targets.append({"im_id": im_id, "inst_count": 1,
+                                    "obj_id": obj_id, "scene_id": scene_id})
+            for name, payload in (("scene_camera.json", scene_camera),
+                                  ("scene_gt.json", scene_gt),
+                                  ("scene_gt_info.json", scene_gt_info)):
+                with open(os.path.join(scene_dir, name), "w") as f:
+                    json.dump(payload, f)
+
+    det_dir = os.path.join(root, "detection_results", dataset)
+    os.makedirs(det_dir, exist_ok=True)
+    with open(os.path.join(det_dir, "synth_detections.json"), "w") as f:
+        json.dump(detections, f)
+    with open(os.path.join(ds_dir, "test_targets_bop19.json"), "w") as f:
+        json.dump(targets, f)
+    return ds_dir

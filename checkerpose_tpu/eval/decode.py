@@ -1,0 +1,51 @@
+"""Network output -> 2D-3D correspondences (batched, on device).
+
+The reference's `from_id_to_pose` preamble (`test_network_with_test_data.py:
+32-66`): predicted integer pixel ids map back to original-image coordinates
+through the (square) crop bbox; validity = in-RoI bit, optionally AND the
+predicted segmentation at that pixel, optionally AND a boundary-margin
+discard. The pose solve itself is solver.ransac.solve_poses_batched.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size_gt", "check_seg",
+                                             "discard_bd_pixel"))
+def ids_to_correspondences(x_id, y_id, roi_mask, bbox, *, crop_size_gt: int,
+                           seg_mask=None, check_seg: bool = False,
+                           discard_bd_pixel: int = 0):
+    """Args (batched):
+      x_id/y_id: (B, N) int32 at crop_size_gt resolution.
+      roi_mask: (B, N) float {0,1} predicted in-RoI bit.
+      bbox: (B, 4) final square bbox [x, y, w, h].
+      seg_mask: (B, h, w) predicted seg probabilities (resolution h=w may be
+        crop_size_gt or coarser; looked up at the id grid, like the
+        stage-aware lookup at `test_network_with_test_data.py:383-402`).
+
+    Returns (p2d (B, N, 2) original-image pixels, valid (B, N) float).
+    """
+    S = crop_size_gt
+    scale = bbox[:, None, 2:4] / S                     # (B, 1, 2)
+    ids = jnp.stack([x_id, y_id], axis=-1).astype(jnp.float32)  # (B, N, 2)
+    p2d = ids * scale + bbox[:, None, 0:2]
+
+    valid = roi_mask
+    if check_seg and seg_mask is not None:
+        h = seg_mask.shape[1]
+        f = h // S if h >= S else 1
+        # seg may be coarser than S when refinement is incomplete
+        sx = jnp.clip((x_id * h) // S, 0, h - 1)
+        sy = jnp.clip((y_id * h) // S, 0, h - 1)
+        flat = seg_mask.reshape(seg_mask.shape[0], -1)
+        seg_at = jnp.take_along_axis(flat, sy * h + sx, axis=1)
+        valid = valid * (seg_at > 0.5).astype(jnp.float32)
+    if discard_bd_pixel > 0:
+        inb = ((x_id >= discard_bd_pixel) & (x_id < S - discard_bd_pixel) &
+               (y_id >= discard_bd_pixel) & (y_id < S - discard_bd_pixel))
+        valid = valid * inb.astype(jnp.float32)
+    return p2d, valid

@@ -1,0 +1,146 @@
+"""Evaluation harnesses.
+
+`evaluate_init` mirrors the reference's in-training `test_init`
+(`test_network_with_test_data.py:122-206`); `evaluate_pipeline` mirrors
+`test_pipeline` / the offline `test.py` loop (`test_network_with_test_data.py:
+301-527`, `test.py:279-525`): forward, decode to correspondences under three
+filter modes (none / full-mask / visib-mask), pose solve, ADD(-S) pass rates
+at 0.02/0.05/0.1 diameter, rotation/translation errors, seg metrics, AUC.
+
+Everything heavy is batched on device; the host only aggregates scalars.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from checkerpose_tpu.eval import metrics as M
+from checkerpose_tpu.eval.decode import ids_to_correspondences
+from checkerpose_tpu.solver.ransac import solve_poses_batched
+from checkerpose_tpu.train import steps
+
+
+def evaluate_init(net, knn_idx, variables, loader, crop_size_gt: int,
+                  best_score_metric: Optional[str] = None) -> Dict[str, float]:
+    ev = steps.make_init_eval_step(net, knn_idx, crop_size_gt)
+    accs_mask, accs_x, accs_y, bit_errs = [], [], [], []
+    for batch in loader:
+        n_real = int(batch.pop("n_real", len(batch["image"])))
+        out = ev(variables, batch)
+        accs_mask.append(np.asarray(out["acc_mask"])[:n_real])
+        accs_x.append(np.asarray(out["acc_x"])[:n_real])
+        accs_y.append(np.asarray(out["acc_y"])[:n_real])
+        bit_errs.append(np.asarray(out["bit_err"])[:n_real])
+    acc_mask = float(np.concatenate(accs_mask).mean())
+    acc_x = float(np.concatenate(accs_x).mean())
+    acc_y = float(np.concatenate(accs_y).mean())
+    bit_err = np.concatenate(bit_errs).mean(axis=0)
+    if best_score_metric is None:
+        test_acc = acc_mask * 0.5 + acc_x * 0.25 + acc_y * 0.25
+    elif best_score_metric == "mean_bit_acc":
+        test_acc = 1.0 - float(bit_err.mean())
+    else:
+        raise ValueError(best_score_metric)
+    return {"test_acc": test_acc, "acc_mask": acc_mask, "acc_x": acc_x,
+            "acc_y": acc_y, "bit_err": bit_err}
+
+
+FILTER_MODES = ("none", "full", "visib")
+
+
+def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
+                      *, stage: int, use_adi: bool = False, vertices=None,
+                      reproj_thresh: float = 2.0, num_hyp: int = 128,
+                      soft_inlier_sigma: float = 0.0, discard_bd_pixel: int = 0,
+                      filter_modes=FILTER_MODES, main_filter: str = "visib",
+                      seed: int = 0) -> Dict:
+    """Full eval sweep. Returns aggregate metrics + per-image poses for CSV.
+
+    p3d_xyz: (N, 3) keypoints (mm) used for PnP; `vertices`: denser model
+    vertices for ADD/ADI (defaults to p3d_xyz, the reference evaluates ADD on
+    the keypoint cloud too via `metric.Calculate_ADD_Error_BOP`).
+    """
+    fwd = steps.make_pose_forward(net, knn_idx, stage)
+    res = 2 ** (3 + stage)
+    verts = jnp.asarray(vertices if vertices is not None else p3d_xyz, jnp.float32)
+    p3dj = jnp.asarray(p3d_xyz, jnp.float32)
+    key = jax.random.PRNGKey(seed)
+
+    per_mode_errs = {m: [] for m in filter_modes}
+    per_mode_re = {m: [] for m in filter_modes}
+    per_mode_te = {m: [] for m in filter_modes}
+    poses: List[Dict] = []
+    seg_acc, seg_iou = [], []
+    n_images = 0
+
+    for batch in loader:
+        n_real = int(batch.pop("n_real", len(batch["image"])))
+        out = fwd(variables, batch)
+        key, sub = jax.random.split(key)
+        R_gt = jnp.asarray(batch["R"])
+        t_gt = jnp.asarray(batch["t"]).reshape(-1, 3)
+        sample_valid = np.asarray(batch["valid"]) > 0.5
+
+        mode_results = {}
+        for mode in filter_modes:
+            seg = {"none": None, "full": out["seg_full"],
+                   "visib": out["seg_visib"]}[mode]
+            p2d, valid = ids_to_correspondences(
+                out["x_id"], out["y_id"], out["roi_mask"],
+                jnp.asarray(batch["bbox"]), crop_size_gt=res, seg_mask=seg,
+                check_seg=(mode != "none"), discard_bd_pixel=discard_bd_pixel)
+            sol = solve_poses_batched(
+                p3dj, p2d, valid, jnp.asarray(batch["cam_K"]), sub,
+                num_hyp=num_hyp, reproj_thresh=reproj_thresh,
+                soft_inlier_sigma=soft_inlier_sigma)
+            errs = M.batched_pose_errors(sol["R"], sol["t"], R_gt, t_gt, verts,
+                                         use_adi=use_adi)
+            ok = np.asarray(sol["success"]) & sample_valid
+            adx = np.where(ok, np.asarray(errs["adx"]), np.inf)
+            per_mode_errs[mode].append(adx[:n_real])
+            per_mode_re[mode].append(np.where(ok, np.asarray(errs["re"]), 180.0)[:n_real])
+            per_mode_te[mode].append(np.where(ok, np.asarray(errs["te"]), np.inf)[:n_real])
+            mode_results[mode] = sol
+
+        # seg metrics against GT visib mask at the stage resolution
+        gt_mask = np.asarray(batch["mask_visib"])
+        h = out["seg_visib"].shape[1]
+        idx = (np.arange(h) * gt_mask.shape[1]) // h
+        gt_small = gt_mask[:, idx][:, :, idx]
+        pred_small = np.asarray(out["seg_visib"]) > 0.5
+        for b in range(n_real):
+            if not sample_valid[b]:
+                continue
+            err, iou = M.mask_metrics(pred_small[b], gt_small[b])
+            seg_acc.append(1.0 - err)
+            seg_iou.append(iou)
+
+        main = mode_results[main_filter if main_filter in filter_modes else filter_modes[0]]
+        for b in range(n_real):
+            poses.append({
+                "scene_id": int(batch["scene_id"][b]),
+                "im_id": int(batch["im_id"][b]),
+                "R": np.asarray(main["R"][b]),
+                "t": np.asarray(main["t"][b]),
+                "score": 1.0 if (sample_valid[b] and bool(main["success"][b])) else -1.0,
+            })
+        n_images += n_real
+
+    report: Dict = {"n_images": n_images, "poses": poses}
+    for mode in filter_modes:
+        errs = np.concatenate(per_mode_errs[mode])
+        res_m = {}
+        for frac, name in ((0.02, "adx02"), (0.05, "adx05"), (0.10, "adx10")):
+            res_m[name] = float((errs < frac * diameter).mean())
+        res_m["auc_posecnn"] = M.compute_auc_posecnn(errs / 1000.0)
+        res_m["mean_re_deg"] = float(np.mean(np.concatenate(per_mode_re[mode])))
+        te = np.concatenate(per_mode_te[mode])
+        res_m["mean_te_mm"] = float(np.mean(te[np.isfinite(te)])) if np.isfinite(te).any() else float("inf")
+        report[mode] = res_m
+    report["seg_acc"] = float(np.mean(seg_acc)) if seg_acc else 1.0
+    report["seg_iou"] = float(np.mean(seg_iou)) if seg_iou else 1.0
+    report["test_acc"] = report[main_filter]["adx10"]
+    return report

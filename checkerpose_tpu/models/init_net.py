@@ -51,9 +51,12 @@ class InitNet(nn.Module):
             x = nn.leaky_relu(x, negative_slope=0.01)
             x = nn.Conv(self.npoint, (1, 1), dtype=self.dtype, name=f"conv1x1_{i}")(x)
 
-        # per-keypoint 64-d feature = its own 8x8 map flattened
+        # per-keypoint 64-d feature = its own 8x8 map flattened; the
+        # architecture ties crop size to 32*8=256 via this reshape, exactly
+        # like the reference (`model/init.py:114` hardcodes 64 = 8*8); the
+        # refine gathers also rely on map resolution == 2**(3+step+1)
         B, H, W, N = x.shape
-        g = x.transpose(0, 3, 1, 2).reshape(B, N, H * W)  # (B, N, 64)
+        g = x.transpose(0, 3, 1, 2).reshape(B, N, H * W)  # (B, N, H*W)
 
         for i in range(self.num_graph_module):
             g = EdgeConv(64, self.graph_leaky_slope, dtype=self.dtype,

@@ -18,12 +18,25 @@ Formulation notes (TPU float32-friendly):
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 _EPS = 1e-9
 
+def _full_precision(fn):
+    """This backend executes f32 matmuls in bfloat16 by default (TPU MXU
+    default precision); the solver's linear algebra needs true f32
+    accumulation -- without this, Kabsch/GN plateau ~2 deg from optimum."""
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **k)
+    return wrapped
 
+
+@_full_precision
 def rodrigues(w: jnp.ndarray) -> jnp.ndarray:
     """Axis-angle (3,) -> rotation matrix (3,3), Taylor-safe at 0."""
     theta = jnp.sqrt(jnp.sum(w ** 2) + _EPS)
@@ -41,6 +54,7 @@ def _normalize_2d(p2d: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([(p2d[:, 0] - cx) / fx, (p2d[:, 1] - cy) / fy], axis=-1)
 
 
+@_full_precision
 def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
     """Unit quaternion (w, x, y, z) -> rotation matrix. Orthogonal by
     construction (important: f32 SVD-based orthogonal Procrustes degrades to
@@ -56,6 +70,7 @@ def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
     ])
 
 
+@_full_precision
 def _weighted_kabsch(X: jnp.ndarray, Y: jnp.ndarray, w: jnp.ndarray):
     """Rigid transform Y ~ R X + t minimizing weighted residuals.
 
@@ -82,6 +97,7 @@ def _weighted_kabsch(X: jnp.ndarray, Y: jnp.ndarray, w: jnp.ndarray):
     return R, t
 
 
+@_full_precision
 def epnp(p3d: jnp.ndarray, p2d: jnp.ndarray, K: jnp.ndarray, w: jnp.ndarray):
     """Weighted EPnP (Lepetit et al. 2009 formulation, re-derived).
 
@@ -150,6 +166,7 @@ def epnp(p3d: jnp.ndarray, p2d: jnp.ndarray, K: jnp.ndarray, w: jnp.ndarray):
     return R, t
 
 
+@_full_precision
 def reproj_errors(R, t, p3d, p2d, K):
     """Per-point pixel reprojection error (N,)."""
     pc = p3d @ R.T + t[None]
@@ -159,6 +176,7 @@ def reproj_errors(R, t, p3d, p2d, K):
     return jnp.sqrt((u - p2d[:, 0]) ** 2 + (v - p2d[:, 1]) ** 2)
 
 
+@_full_precision
 def refine_pose_gn(R, t, p3d, p2d, K, w, iters: int = 8, damping: float = 1e-5):
     """Fixed-iteration damped Gauss-Newton on SE(3), weighted reprojection.
 
@@ -229,6 +247,7 @@ def refine_pose_gn(R, t, p3d, p2d, K, w, iters: int = 8, damping: float = 1e-5):
     return R, t - R @ pbar
 
 
+@_full_precision
 def project_so3(M: jnp.ndarray) -> jnp.ndarray:
     """Nearest rotation matrix (Frobenius) to a near-rotation M.
 

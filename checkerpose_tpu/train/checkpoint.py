@@ -1,0 +1,73 @@
+"""Checkpointing: orbax-backed, keep-3 rolling + single best.
+
+Same retention semantics as the reference (`utils.py:4-66`): a rolling window
+of the last `max_to_keep` step checkpoints, resume from the max step, and a
+separate single "best" checkpoint gated on the validation score. The payload
+is {params, batch_stats, opt_state, step, best_score} -- the orbax equivalent
+of the reference's model+optimizer+step+best_score torch dict
+(`utils.py:15-23`). Saves are async (orbax default) so training never blocks
+on filesystem writes.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import numpy as np
+import orbax.checkpoint as ocp
+
+from checkerpose_tpu.train.state import TrainState
+
+
+def _to_pytree(state: TrainState):
+    return {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": np.asarray(state.step, np.int32),
+        "best_score": np.asarray(state.best_score, np.float32),
+    }
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 3):
+        self.dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self.mgr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=True),
+        )
+        best_dir = os.path.join(self.dir, "best")
+        os.makedirs(best_dir, exist_ok=True)
+        self.best_mgr = ocp.CheckpointManager(
+            best_dir, options=ocp.CheckpointManagerOptions(max_to_keep=1,
+                                                           create=True))
+
+    def save(self, state: TrainState):
+        self.mgr.save(state.step, args=ocp.args.StandardSave(_to_pytree(state)))
+
+    def save_best(self, state: TrainState):
+        self.best_mgr.save(state.step, args=ocp.args.StandardSave(_to_pytree(state)))
+
+    def wait(self):
+        self.mgr.wait_until_finished()
+        self.best_mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.mgr.latest_step()
+
+    def restore(self, state: TrainState, step: Optional[int] = None,
+                best: bool = False) -> TrainState:
+        """Restore into the structure of `state` (shapes/dtypes must match)."""
+        mgr = self.best_mgr if best else self.mgr
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {self.dir}")
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore(_to_pytree(state)))
+        return TrainState(params=restored["params"],
+                          batch_stats=restored["batch_stats"],
+                          opt_state=restored["opt_state"],
+                          step=int(restored["step"]),
+                          best_score=float(restored["best_score"]))

@@ -1,0 +1,85 @@
+"""Training loop driver shared by the pretrain/train CLIs.
+
+Reference cadence (`train.py:267-379`): infinite step loop over mixed
+loaders, per-step loss logging, every `test_freq` steps a full validation
+sweep gating the best checkpoint + a rolling keep-3 checkpoint.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from checkerpose_tpu.parallel.mesh import make_mesh, shard_batch, replicate_tree
+from checkerpose_tpu.train.checkpoint import CheckpointManager
+from checkerpose_tpu.train.state import TrainState
+from checkerpose_tpu.utils.logging import MetricWriter
+
+
+def run_training(*, state: TrainState, step_fns, loader: Iterable,
+                 total_iteration: int, eval_fn: Callable[[Dict], Dict],
+                 ckpt: CheckpointManager, writer: MetricWriter,
+                 log_freq: int = 100, test_freq: int = 1000,
+                 get_stage: Optional[Callable[[int], int]] = None,
+                 extra_batch: Optional[Callable[[Dict], Dict]] = None,
+                 mesh=None, seed: int = 0) -> TrainState:
+    """Args:
+      step_fns: dict stage->jitted step (or {None: step} when no curriculum);
+        each maps (state_dict, batch, key) -> (state_dict, metrics).
+      eval_fn: state_dict -> metrics dict with "test_acc" gating best ckpt.
+      get_stage: step -> curriculum stage (config.get_train_stage).
+      extra_batch: hook to add derived fields (e.g. broadcast p3d_normed).
+    """
+    mesh = mesh if mesh is not None else make_mesh()
+    sd = {"params": replicate_tree(state.params, mesh),
+          "batch_stats": replicate_tree(state.batch_stats, mesh),
+          "opt_state": replicate_tree(state.opt_state, mesh)}
+    key = jax.random.PRNGKey(seed)
+    step_no = state.step
+    best = state.best_score
+    t_last = time.time()
+    data_iter = iter(loader)
+
+    while step_no < total_iteration:
+        batch = next(data_iter)
+        batch.pop("n_real", None)
+        if extra_batch is not None:
+            batch = extra_batch(batch)
+        stage = get_stage(step_no) if get_stage else None
+        step_fn = step_fns[stage] if stage is not None else step_fns[None]
+        key, sub = jax.random.split(key)
+        sd, metrics = step_fn(sd, shard_batch(batch, mesh), sub)
+        step_no += 1
+
+        if step_no % log_freq == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = (time.time() - t_last) / log_freq
+            t_last = time.time()
+            m["step_time_s"] = dt
+            eta_h = dt * (total_iteration - step_no) / 3600.0
+            writer.add_scalars({f"TRAIN/{k}": v for k, v in m.items()}, step_no)
+            print(f"step {step_no}/{total_iteration} "
+                  + " ".join(f"{k}={v:.4f}" for k, v in m.items())
+                  + f" eta={eta_h:.2f}h", flush=True)
+
+        if step_no % test_freq == 0 or step_no == total_iteration:
+            cur = TrainState(params=sd["params"], batch_stats=sd["batch_stats"],
+                             opt_state=sd["opt_state"], step=step_no,
+                             best_score=best)
+            ckpt.save(cur)
+            ev = eval_fn({"params": sd["params"],
+                          "batch_stats": sd["batch_stats"]})
+            writer.add_scalar("TESTDATA_ACC/ACC_test", ev["test_acc"], step_no)
+            print(f"eval @ {step_no}: " + " ".join(
+                f"{k}={v:.4f}" for k, v in ev.items()
+                if isinstance(v, (int, float))), flush=True)
+            if ev["test_acc"] > best:
+                best = ev["test_acc"]
+                cur.best_score = best
+                ckpt.save_best(cur)
+
+    ckpt.wait()
+    return TrainState(params=sd["params"], batch_stats=sd["batch_stats"],
+                      opt_state=sd["opt_state"], step=step_no, best_score=best)

@@ -1,0 +1,217 @@
+"""Jitted training / eval steps.
+
+Everything per-sample-expensive lives inside these jitted global-view
+functions: color augmentation, ImageNet normalization, GT binary-code label
+generation, forward, losses, grads, optimizer update. The host only decodes
+and crops images (data/dataset.py). Under a sharded mesh the same code is the
+multi-chip data-parallel program -- XLA inserts the gradient/BN all-reduces.
+
+Loss structure mirrors the reference:
+  * pretrain (`pretrain.py:261-268`): unmasked BCE on the RoI bit + masked
+    BCE on the first res_log2 x/y bits.
+  * train (`train.py:310-318`): RoI + masked x/y over 3+stage bits + weighted
+    visib/full seg mask L1.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from checkerpose_tpu.losses import (masked_code_loss, unmasked_code_loss,
+                                    mask_loss_interpolate)
+from checkerpose_tpu.ops import augment, codes, crop, geometry
+
+
+def knn_for_batch(knn_idx, batch):
+    """Single-object: static (N, K) index used as-is. Multi-object (LM): a
+    stacked (O, N, K) table gathered per sample by batch["obj_idx"] -- the
+    TPU-native form of the reference's per-object knn_idx ModuleList indexing
+    (`model/init_lm.py:64-69`)."""
+    if getattr(knn_idx, "ndim", 2) == 3:
+        return jnp.take(jnp.asarray(knn_idx), batch["obj_idx"], axis=0)
+    return knn_idx
+
+
+def device_labels(batch: Dict[str, jnp.ndarray], crop_size_gt: int):
+    """GT labels from projections + final bbox, fully on device.
+
+    Returns roi_bit (B, N, 1) f32, x_id/y_id (B, N) int32 at crop_size_gt
+    resolution.
+    """
+    f = functools.partial(geometry.make_code_labels, crop_size_gt=crop_size_gt)
+    roi_bit, x_id, y_id = jax.vmap(f)(batch["proj_xy"], batch["bbox"])
+    return roi_bit[..., None], x_id, y_id
+
+
+def device_augment_normalize(images_u8, key, use_pepper_salt, use_motion_blur,
+                             train: bool):
+    imgs = images_u8.astype(jnp.float32)
+    if train:
+        keys = jax.random.split(key, imgs.shape[0])
+        aug = functools.partial(augment.color_augment,
+                                use_pepper_salt=use_pepper_salt,
+                                use_motion_blur=use_motion_blur)
+        imgs = jax.vmap(aug)(keys, imgs)
+    return crop.normalize_image(imgs)
+
+
+def _code_labels_bits(x_id, y_id, total_bits: int, use_bits: int):
+    """ids at 2**total_bits resolution -> first `use_bits` MSB code planes
+    (B, N, use_bits) f32. MSB-prefix slicing == the reference's
+    `pixel_x_codes[:, :res_log2]` (`pretrain.py:262-267`)."""
+    xc = codes.ids_to_codes(x_id, total_bits)[..., :use_bits].astype(jnp.float32)
+    yc = codes.ids_to_codes(y_id, total_bits)[..., :use_bits].astype(jnp.float32)
+    return xc, yc
+
+
+def make_pretrain_step(net, knn_idx, optimizer: optax.GradientTransformation,
+                       crop_size_gt: int, *, mask_loss_type="BCE",
+                       proj_loss_type="BCE", proj_bit_loss_weight=1.0,
+                       use_pepper_salt=True, use_motion_blur=True):
+    total_bits = int(jnp.log2(crop_size_gt))
+    res_log2 = net.res_log2
+
+    @jax.jit
+    def step(state: Dict[str, Any], batch, key):
+        imgs = device_augment_normalize(batch["image"], key, use_pepper_salt,
+                                        use_motion_blur, train=True)
+        roi_bit, x_id, y_id = device_labels(batch, crop_size_gt)
+        gt_x, gt_y = _code_labels_bits(x_id, y_id, total_bits, res_log2)
+        knn_b = knn_for_batch(knn_idx, batch)
+
+        def loss_fn(params):
+            (out_bits, _, _), updates = net.apply(
+                {"params": params, "batch_stats": state["batch_stats"]},
+                imgs, knn_b, train=True, mutable=["batch_stats"])
+            roi_logit = out_bits[..., 0:1]
+            x_logit = out_bits[..., 1:1 + res_log2]
+            y_logit = out_bits[..., 1 + res_log2:]
+            l_roi = unmasked_code_loss(roi_logit, roi_bit, mask_loss_type)
+            l_x = masked_code_loss(x_logit, gt_x, roi_bit, proj_loss_type)
+            l_y = masked_code_loss(y_logit, gt_y, roi_bit, proj_loss_type)
+            total = l_roi + proj_bit_loss_weight * (l_x + l_y)
+            return total, (updates["batch_stats"],
+                           {"loss": total, "loss_roi": l_roi,
+                            "loss_x": l_x, "loss_y": l_y})
+
+        (loss, (new_bs, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+        updates, new_opt = optimizer.update(grads, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        new_state = {"params": new_params, "batch_stats": new_bs,
+                     "opt_state": new_opt}
+        return new_state, metrics
+
+    return step
+
+
+def make_init_eval_step(net, knn_idx, crop_size_gt: int):
+    """Batched equivalent of the reference's `test_init` inner loop
+    (`test_network_with_test_data.py:136-190`): per-sample mask-bit accuracy,
+    reprojection accuracy, and per-bit errors -- all on device."""
+    total_bits = int(jnp.log2(crop_size_gt))
+    res_log2 = net.res_log2
+
+    @jax.jit
+    def step(variables, batch):
+        imgs = device_augment_normalize(batch["image"], None, False, False, train=False)
+        roi_bit, x_id, y_id = device_labels(batch, crop_size_gt)
+        gt_x, gt_y = _code_labels_bits(x_id, y_id, total_bits, res_log2)
+
+        out_bits, _, _ = net.apply(variables, imgs, knn_for_batch(knn_idx, batch),
+                                   train=False)
+        pred = (out_bits > 0.0).astype(jnp.float32)
+        pred_mask = pred[..., 0:1]
+        m = roi_bit  # GT mask, applied to both pred and gt codes (reference :150-153)
+        pred_x = pred[..., 1:1 + res_log2] * m
+        pred_y = pred[..., 1 + res_log2:] * m
+        gt_xm, gt_ym = gt_x * m, gt_y * m
+
+        n_in_roi = jnp.clip(jnp.sum(m[..., 0], axis=1), 1.0, None)     # (B,)
+        err_mask = jnp.mean(jnp.abs(m - pred_mask), axis=(1, 2))       # (B,)
+        dx = gt_xm - pred_x                                            # (B,N,L)
+        dy = gt_ym - pred_y
+        w = 2.0 ** (res_log2 - 1 - jnp.arange(res_log2))
+        rex = jnp.sum(jnp.abs(jnp.sum(dx * w, axis=-1)), axis=1) / n_in_roi
+        rey = jnp.sum(jnp.abs(jnp.sum(dy * w, axis=-1)), axis=1) / n_in_roi
+        acc_x = 1.0 - rex / (2.0 ** res_log2)
+        acc_y = 1.0 - rey / (2.0 ** res_log2)
+        acc_mask = 1.0 - err_mask
+        bit_err = jnp.concatenate([
+            err_mask[:, None],
+            jnp.sum(jnp.abs(dx), axis=1) / n_in_roi[:, None],
+            jnp.sum(jnp.abs(dy), axis=1) / n_in_roi[:, None],
+        ], axis=1)                                                     # (B, 1+2L)
+        return {"acc_mask": acc_mask, "acc_x": acc_x, "acc_y": acc_y,
+                "bit_err": bit_err}
+
+    return step
+
+
+def make_train_step(net, knn_idx, optimizer: optax.GradientTransformation,
+                    stage: int, *, roi_loss_type="BCE", proj_loss_type="BCE",
+                    seg_visib_loss_weight=1.0, seg_full_loss_weight=1.0,
+                    use_pepper_salt=True, use_motion_blur=True,
+                    full_bits=False):
+    """Full-pipeline train step; one compiled variant per curriculum stage.
+
+    full_bits: the woProg ablation emits all res_log2 bits at every stage
+    (models/ablation.py), so labels span the full code width."""
+    res_log2 = net.res_log2
+    crop_size_gt = 2 ** res_log2
+    active_bits = res_log2 if full_bits else 3 + stage
+
+    @jax.jit
+    def step(state: Dict[str, Any], batch, key):
+        imgs = device_augment_normalize(batch["image"], key, use_pepper_salt,
+                                        use_motion_blur, train=True)
+        roi_bit, x_id, y_id = device_labels(batch, crop_size_gt)
+        gt_x, gt_y = _code_labels_bits(x_id, y_id, res_log2, active_bits)
+        p3d = batch["p3d_normed"]
+        knn_b = knn_for_batch(knn_idx, batch)
+
+        def loss_fn(params):
+            out, updates = net.apply(
+                {"params": params, "batch_stats": state["batch_stats"]},
+                imgs, knn_b, p3d, stage=stage, train=True,
+                mutable=["batch_stats"])
+            l_roi = unmasked_code_loss(out["roi_logit"], roi_bit, roi_loss_type)
+            l_x = masked_code_loss(out["x_logits"], gt_x, roi_bit, proj_loss_type)
+            l_y = masked_code_loss(out["y_logits"], gt_y, roi_bit, proj_loss_type)
+            l_sv = mask_loss_interpolate(out["seg_logits"][..., 0], batch["mask_visib"])
+            l_sf = mask_loss_interpolate(out["seg_logits"][..., 1], batch["mask_full"])
+            total = (l_roi + l_x + l_y + seg_visib_loss_weight * l_sv
+                     + seg_full_loss_weight * l_sf)
+            return total, (updates["batch_stats"],
+                           {"loss": total, "loss_roi": l_roi, "loss_x": l_x,
+                            "loss_y": l_y, "loss_seg_visib": l_sv,
+                            "loss_seg_full": l_sf})
+
+        (loss, (new_bs, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+        updates, new_opt = optimizer.update(grads, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        return {"params": new_params, "batch_stats": new_bs,
+                "opt_state": new_opt}, metrics
+
+    return step
+
+
+def make_pose_forward(net, knn_idx, stage: int):
+    """Jitted inference forward: uint8 crops -> hard ids + masks + seg."""
+
+    @jax.jit
+    def fwd(variables, batch):
+        imgs = device_augment_normalize(batch["image"], None, False, False, train=False)
+        out = net.apply(variables, imgs, knn_for_batch(knn_idx, batch),
+                        batch["p3d_normed"], stage=stage, train=False)
+        roi_mask = (out["roi_logit"][..., 0] > 0.0).astype(jnp.float32)  # (B,N)
+        seg = jax.nn.sigmoid(out["seg_logits"])
+        return {"roi_mask": roi_mask, "x_id": out["x_id"], "y_id": out["y_id"],
+                "seg_visib": seg[..., 0], "seg_full": seg[..., 1]}
+
+    return fwd

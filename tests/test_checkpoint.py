@@ -1,0 +1,54 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from checkerpose_tpu.train.checkpoint import CheckpointManager
+from checkerpose_tpu.train.state import TrainState
+
+
+def _mk_state(step, scale=1.0):
+    params = {"dense": {"kernel": jnp.full((4, 4), scale), "bias": jnp.zeros(4)}}
+    bs = {"bn": {"mean": jnp.zeros(4), "var": jnp.ones(4)}}
+    opt = {"mu": jax.tree.map(jnp.zeros_like, params)}
+    return TrainState(params=params, batch_stats=bs, opt_state=opt,
+                      step=step, best_score=0.5)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    st = _mk_state(100, scale=3.0)
+    mgr.save(st)
+    mgr.wait()
+    restored = mgr.restore(_mk_state(0))
+    assert restored.step == 100
+    assert restored.best_score == 0.5
+    np.testing.assert_array_equal(np.asarray(restored.params["dense"]["kernel"]),
+                                  np.full((4, 4), 3.0))
+
+
+def test_keep_3_rolling(tmp_path):
+    """Rolling window of 3 step checkpoints, resume from max step -- the
+    reference's retention semantics (utils.py:4-31)."""
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=3)
+    for s in (10, 20, 30, 40):
+        mgr.save(_mk_state(s, scale=float(s)))
+    mgr.wait()
+    assert mgr.latest_step() == 40
+    steps = sorted(mgr.mgr.all_steps())
+    assert steps == [20, 30, 40]
+    restored = mgr.restore(_mk_state(0))
+    assert restored.step == 40
+
+
+def test_best_checkpoint_separate(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    st = _mk_state(10, scale=1.0)
+    st.best_score = 0.7
+    mgr.save_best(st)
+    for s in (20, 30):
+        mgr.save(_mk_state(s, scale=2.0))
+    mgr.wait()
+    best = mgr.restore(_mk_state(0), best=True)
+    assert best.step == 10 and abs(best.best_score - 0.7) < 1e-6  # f32 roundtrip
+    np.testing.assert_array_equal(np.asarray(best.params["dense"]["kernel"]),
+                                  np.ones((4, 4)))

@@ -1,0 +1,116 @@
+import os
+
+import numpy as np
+import pytest
+
+from checkerpose_tpu.data.synthetic import make_synthetic_bop
+from checkerpose_tpu.data.bop_io import scan_bop_object, scan_bop_targets, load_models_info, model_ply_path
+from checkerpose_tpu.data.detections import load_detections, attach_detections
+from checkerpose_tpu.data.dataset import CropDataset, Loader, MixedLoader, mixed_batch_sizes
+from checkerpose_tpu.data.fps import load_keypoints_normed, generate_fps_keypoints
+from checkerpose_tpu.data.ply import load_ply_vertices
+from checkerpose_tpu.data.dataset_info import get_obj_info
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bop"))
+    make_synthetic_bop(root, n_objects=2, n_scenes=2, n_images=6)
+    return root
+
+
+def test_obj_info():
+    names, syms = get_obj_info("lmo")
+    assert names["ape"] == 1 and names["phone"] == 15
+    assert "eggbox" in syms and "ape" not in syms
+    names, syms = get_obj_info("ycbv")
+    assert names["master_chef_can"] == 1 and len(names) == 21
+
+
+def test_scan_and_models(synth_root):
+    samples = scan_bop_object(synth_root, "synth", "train_real", obj_id=1)
+    assert len(samples) == 6  # 2 scenes x 3 images of obj 1
+    s = samples[0]
+    assert os.path.isfile(s.rgb_path) and os.path.isfile(s.mask_path)
+    assert s.R.shape == (3, 3) and s.cam_K.shape == (3, 3)
+    info = load_models_info(synth_root, "synth")
+    assert 1 in info and info[1]["diameter"] > 0
+    verts = load_ply_vertices(model_ply_path(synth_root, "synth", 1))
+    assert verts.shape[1] == 3 and len(verts) == 64
+
+
+def test_targets(synth_root):
+    t = scan_bop_targets(synth_root, "synth", obj_id=1)
+    assert len(t) == 6
+
+
+def test_detections(synth_root):
+    det = load_detections(os.path.join(synth_root, "detection_results/synth/synth_detections.json"), 1)
+    assert len(det) == 6
+    # best score kept (0.9 jittered box, not the 0.5 one)
+    for (bbox, score) in det.values():
+        assert score == 0.9
+    samples = scan_bop_object(synth_root, "synth", "test", obj_id=1)
+    samples = attach_detections(samples, det)
+    assert all(s.detect_bbox is not None for s in samples)
+
+
+def test_fps_keypoints(synth_root):
+    xyz, normed = load_keypoints_normed(synth_root, "synth", 1, 64)
+    assert xyz.shape == (64, 3)
+    assert np.linalg.norm(normed, axis=1).max() <= 1.0 + 1e-6
+    pay = generate_fps_keypoints(model_ply_path(synth_root, "synth", 1), npoint_log2=5)
+    assert pay["xyz"].shape == (32, 3)
+
+
+def test_crop_dataset_item(synth_root):
+    samples = scan_bop_object(synth_root, "synth", "train_real", obj_id=1)
+    xyz, _ = load_keypoints_normed(synth_root, "synth", 1, 64)
+    ds = CropDataset(samples, xyz, is_train=True)
+    item = ds[0]
+    assert item["image"].shape == (256, 256, 3) and item["image"].dtype == np.uint8
+    assert item["mask_visib"].shape == (64, 64)
+    assert item["proj_xy"].shape == (64, 2)
+    assert item["valid"] == 1.0
+    # projections of in-object keypoints should fall inside the visible mask bbox
+    # for most points (object fully visible in fixture)
+    from checkerpose_tpu.ops.geometry import make_code_labels
+    import jax.numpy as jnp
+    bit, xi, yi = make_code_labels(jnp.asarray(item["proj_xy"]), jnp.asarray(item["bbox"]), 64)
+    assert float(bit.mean()) > 0.9
+
+
+def test_loader_shapes(synth_root):
+    samples = scan_bop_object(synth_root, "synth", "train_real", obj_id=1)
+    xyz, _ = load_keypoints_normed(synth_root, "synth", 1, 64)
+    ds = CropDataset(samples, xyz, is_train=True)
+    loader = Loader(ds, batch_size=4, shuffle=True, infinite=True)
+    it = iter(loader)
+    b = next(it)
+    assert b["image"].shape == (4, 256, 256, 3)
+    assert b["proj_xy"].shape == (4, 64, 2)
+    b2 = next(it)
+    assert b2["image"].shape == (4, 256, 256, 3)
+
+
+def test_mixed_loader(synth_root):
+    b1, b2 = mixed_batch_sizes(32, 0.75)
+    assert (b1, b2) == (8, 24)
+    samples = scan_bop_object(synth_root, "synth", "train_real", obj_id=1)
+    samples2 = scan_bop_object(synth_root, "synth", "train_pbr", obj_id=1)
+    xyz, _ = load_keypoints_normed(synth_root, "synth", 1, 64)
+    l1 = Loader(CropDataset(samples, xyz, is_train=True), 2, shuffle=True, infinite=True)
+    l2 = Loader(CropDataset(samples2, xyz, is_train=True), 3, shuffle=True, infinite=True)
+    b = next(iter(MixedLoader(l1, l2)))
+    assert b["image"].shape[0] == 5
+
+
+def test_dummy_on_missing_detection(synth_root):
+    samples = scan_bop_object(synth_root, "synth", "test", obj_id=1)
+    for s in samples:
+        s.detect_bbox = None
+    xyz, _ = load_keypoints_normed(synth_root, "synth", 1, 64)
+    ds = CropDataset(samples, xyz, is_train=False, use_detections=True)
+    item = ds[0]
+    assert item["valid"] == 0.0
+    assert item["image"].sum() == 0

@@ -1,0 +1,103 @@
+"""Multi-object (LM-style) model path + woProg ablation tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from checkerpose_tpu.models import InitNet, PoseNet
+from checkerpose_tpu.models.ablation import PoseNetWoProg
+from checkerpose_tpu.ops.knn import knn_index
+from checkerpose_tpu.ops.geometry import pc_normalize
+from checkerpose_tpu.train import steps
+from checkerpose_tpu.train.state import create_init_state, create_pose_state, make_optimizer
+
+NPT, K, NOBJ, CROP = 16, 5, 3, 256
+
+
+@pytest.fixture(scope="module")
+def tables():
+    rng = np.random.default_rng(0)
+    p3d = rng.uniform(-30, 30, (NOBJ, NPT, 3)).astype(np.float32)
+    normed = np.stack([pc_normalize(p.astype(np.float64)).astype(np.float32) for p in p3d])
+    knn = np.stack([knn_index(n, K) for n in normed])
+    return p3d, normed, knn
+
+
+def _batch(rng, B, crop_gt=64):
+    return {
+        "image": rng.integers(0, 255, (B, CROP, CROP, 3)).astype(np.uint8),
+        "proj_xy": np.stack([rng.uniform(60, 170, (B, NPT)),
+                             rng.uniform(70, 180, (B, NPT))], -1).astype(np.float32),
+        "bbox": np.tile(np.array([50, 60, 130, 130], np.float32), (B, 1)),
+        "mask_visib": (rng.random((B, crop_gt, crop_gt)) > 0.5).astype(np.float32),
+        "mask_full": (rng.random((B, crop_gt, crop_gt)) > 0.3).astype(np.float32),
+        "obj_idx": np.array([0, 1, 2, 0][:B], np.int32),
+    }
+
+
+def test_knn_for_batch_gathers(tables):
+    _, _, knn = tables
+    batch = {"obj_idx": jnp.asarray([2, 0])}
+    out = steps.knn_for_batch(knn, batch)
+    assert out.shape == (2, NPT, K)
+    np.testing.assert_array_equal(np.asarray(out[0]), knn[2])
+    np.testing.assert_array_equal(np.asarray(out[1]), knn[0])
+    # 2-D static index passes through untouched
+    single = knn[0]
+    assert steps.knn_for_batch(single, batch) is single
+
+
+def test_multiobj_pretrain_step(tables):
+    p3d, normed, knn = tables
+    net = InitNet(npoint=NPT, res_log2=3, backbone_name="resnet34",
+                  num_graph_module=1, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    st = create_init_state(net, knn[0], CROP, opt)
+    sd = {"params": st.params, "batch_stats": st.batch_stats, "opt_state": st.opt_state}
+    step = steps.make_pretrain_step(net, knn, opt, crop_size_gt=128,
+                                    use_pepper_salt=False, use_motion_blur=False)
+    rng = np.random.default_rng(1)
+    batch = _batch(rng, 3)
+    sd, metrics = step(sd, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_multiobj_train_step(tables):
+    p3d, normed, knn = tables
+    net = PoseNet(npoint=NPT, res_log2=6, backbone_name="resnet34",
+                  num_graph_module=1, init_num_graph_module=1, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    st = create_pose_state(net, knn[0], CROP, opt, NPT)
+    sd = {"params": st.params, "batch_stats": st.batch_stats, "opt_state": st.opt_state}
+    step = steps.make_train_step(net, knn, opt, stage=2,
+                                 use_pepper_salt=False, use_motion_blur=False)
+    rng = np.random.default_rng(2)
+    batch = _batch(rng, 3)
+    batch["p3d_normed"] = normed[batch["obj_idx"]]
+    sd, metrics = step(sd, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_woprog_ablation(tables):
+    p3d, normed, knn = tables
+    net = PoseNetWoProg(npoint=NPT, res_log2=6, backbone_name="resnet34",
+                        num_graph_module=1, init_num_graph_module=1,
+                        dtype=jnp.float32)
+    img = jnp.zeros((2, CROP, CROP, 3))
+    v = net.init(jax.random.PRNGKey(0), img, knn[0], stage=3, train=False)
+    out = net.apply(v, img, knn[0], stage=3, train=False)
+    # full-width bits at once, ids at full 64 resolution
+    assert out["x_logits"].shape == (2, NPT, 6)
+    assert int(out["x_id"].max()) < 64
+    assert out["seg_logits"].shape == (2, 64, 64, 2)
+    # trains with full_bits
+    opt = make_optimizer(1e-3)
+    st = create_pose_state(net, knn[0], CROP, opt, NPT)
+    sd = {"params": st.params, "batch_stats": st.batch_stats, "opt_state": st.opt_state}
+    step = steps.make_train_step(net, knn, opt, stage=3, full_bits=True,
+                                 use_pepper_salt=False, use_motion_blur=False)
+    rng = np.random.default_rng(3)
+    batch = _batch(rng, 3)
+    batch["p3d_normed"] = normed[batch["obj_idx"]]
+    sd, metrics = step(sd, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))

@@ -58,7 +58,7 @@ def test_posenet_ids_consistent_with_bits(kp):
     p3d, knn = kp
     net = PoseNet(npoint=32, res_log2=4, backbone_name="resnet34", dtype=jnp.float32,
                   num_graph_module=1, init_num_graph_module=1)
-    img = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 128, 3))
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 256, 3))
     p3dj = jnp.asarray(p3d)[None]
     vars_ = net.init(jax.random.PRNGKey(0), img, knn, p3dj, stage=1, train=False)
     out = net.apply(vars_, img, knn, p3dj, stage=1, train=False)

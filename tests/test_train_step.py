@@ -1,0 +1,126 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from checkerpose_tpu.models import InitNet, PoseNet
+from checkerpose_tpu.ops.knn import knn_index
+from checkerpose_tpu.train.state import (create_init_state, create_pose_state,
+                                         make_optimizer, graft_init_params,
+                                         param_count)
+from checkerpose_tpu.train import steps
+
+NPT = 16
+CROP = 256
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    p3d = rng.uniform(-30, 30, (NPT, 3)).astype(np.float32)
+    knn = knn_index(p3d, 5)
+    return p3d, knn
+
+
+def _fake_batch(rng, B=2, crop_gt=64):
+    bbox = np.tile(np.array([50, 60, 130, 130], np.float32), (B, 1))
+    proj = np.stack([rng.uniform(60, 170, (B, NPT)),
+                     rng.uniform(70, 180, (B, NPT))], -1).astype(np.float32)
+    return {
+        "image": rng.integers(0, 255, (B, CROP, CROP, 3)).astype(np.uint8),
+        "proj_xy": proj,
+        "bbox": bbox,
+        "mask_visib": (rng.random((B, crop_gt, crop_gt)) > 0.5).astype(np.float32),
+        "mask_full": (rng.random((B, crop_gt, crop_gt)) > 0.3).astype(np.float32),
+    }
+
+
+def test_pretrain_step_decreases_loss(setup):
+    p3d, knn = setup
+    net = InitNet(npoint=NPT, res_log2=3, backbone_name="resnet34",
+                  num_graph_module=1, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    state = create_init_state(net, knn, CROP, opt)
+    sd = {"params": state.params, "batch_stats": state.batch_stats,
+          "opt_state": state.opt_state}
+    step = steps.make_pretrain_step(net, knn, opt, crop_size_gt=128,
+                                    use_pepper_salt=False, use_motion_blur=False)
+    rng = np.random.default_rng(1)
+    batch = _fake_batch(rng)
+    losses = []
+    for i in range(8):
+        sd, metrics = step(sd, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_init_eval_step(setup):
+    p3d, knn = setup
+    net = InitNet(npoint=NPT, res_log2=3, backbone_name="resnet34",
+                  num_graph_module=1, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    state = create_init_state(net, knn, CROP, opt)
+    ev = steps.make_init_eval_step(net, knn, crop_size_gt=128)
+    batch = _fake_batch(np.random.default_rng(2))
+    out = ev(state.variables(), batch)
+    assert out["acc_mask"].shape == (2,)
+    assert out["bit_err"].shape == (2, 7)
+    assert np.isfinite(np.asarray(out["acc_x"])).all()
+
+
+def test_train_step_posenet(setup):
+    p3d, knn = setup
+    net = PoseNet(npoint=NPT, res_log2=6, backbone_name="resnet34",
+                  num_graph_module=1, init_num_graph_module=1, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    state = create_pose_state(net, knn, CROP, opt, NPT)
+    sd = {"params": state.params, "batch_stats": state.batch_stats,
+          "opt_state": state.opt_state}
+    step = steps.make_train_step(net, knn, opt, stage=3,
+                                 use_pepper_salt=False, use_motion_blur=False)
+    rng = np.random.default_rng(3)
+    batch = _fake_batch(rng)
+    from checkerpose_tpu.ops.geometry import pc_normalize
+    batch["p3d_normed"] = np.tile(pc_normalize(p3d)[None], (2, 1, 1)).astype(np.float32)
+    losses = []
+    for i in range(4):
+        sd, metrics = step(sd, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    for k in ("loss_roi", "loss_x", "loss_y", "loss_seg_visib", "loss_seg_full"):
+        assert np.isfinite(float(metrics[k]))
+
+
+def test_graft_init_params(setup):
+    p3d, knn = setup
+    init_net = InitNet(npoint=NPT, res_log2=3, backbone_name="resnet34",
+                       num_graph_module=1, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    ist = create_init_state(init_net, knn, CROP, opt)
+    # poison a leaf to verify the graft actually copies
+    marked = jax.tree.map(lambda x: x + 7.0, ist.params)
+    pose_net = PoseNet(npoint=NPT, res_log2=6, backbone_name="resnet34",
+                       num_graph_module=1, init_num_graph_module=1, dtype=jnp.float32)
+    pst = create_pose_state(pose_net, knn, CROP, opt, NPT,
+                            init_params={"params": marked})
+    leaf = jax.tree.leaves(pst.params["init_net"]["mlp"])[0]
+    ref = jax.tree.leaves(marked["mlp"])[0]
+    np.testing.assert_array_equal(np.asarray(leaf), np.asarray(ref))
+    assert param_count(pst.params) > 20.0  # ~28M for resnet34 posenet
+
+
+def test_pose_forward(setup):
+    p3d, knn = setup
+    net = PoseNet(npoint=NPT, res_log2=6, backbone_name="resnet34",
+                  num_graph_module=1, init_num_graph_module=1, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    state = create_pose_state(net, knn, CROP, opt, NPT)
+    fwd = steps.make_pose_forward(net, knn, stage=3)
+    batch = _fake_batch(np.random.default_rng(4))
+    from checkerpose_tpu.ops.geometry import pc_normalize
+    batch["p3d_normed"] = np.tile(pc_normalize(p3d)[None], (2, 1, 1)).astype(np.float32)
+    out = fwd(state.variables(), batch)
+    assert out["x_id"].shape == (2, NPT)
+    assert out["seg_visib"].shape == (2, 64, 64)
+    assert 0.0 <= float(out["seg_visib"].min()) and float(out["seg_visib"].max()) <= 1.0
