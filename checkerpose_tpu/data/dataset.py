@@ -38,7 +38,8 @@ class CropDataset:
                  is_train: bool, crop_size_img: int = 256, crop_size_gt: int = 64,
                  padding_ratio: float = 1.5, resize_method: str = "crop_square_resize",
                  use_detections: bool = False, seed: int = 0,
-                 bg_paths: Optional[List[str]] = None, change_bg_prob: float = 0.0):
+                 bg_paths: Optional[List[str]] = None, change_bg_prob: float = 0.0,
+                 use_native: bool = False):
         """p3d_xyz: (N, 3) keypoints shared by all samples, or a
         {obj_id: (N, 3)} dict for multi-object (LM) datasets -- items then
         carry `obj_idx`, the row into the stacked keypoint/KNN tables.
@@ -59,6 +60,12 @@ class CropDataset:
             self.p3d = np.asarray(p3d_xyz, np.float64)
         self.bg_paths = bg_paths
         self.change_bg_prob = change_bg_prob
+        # native C++ decode+crop core (native/loadercore.cpp); incompatible
+        # with host-side bg replacement (needs the full-frame mask)
+        self.use_native = use_native and not bg_paths
+        if self.use_native:
+            from checkerpose_tpu.data import native_loader
+            self.use_native = native_loader.available()
         self.is_train = is_train
         self.crop_size_img = crop_size_img
         self.crop_size_gt = crop_size_gt
@@ -92,6 +99,8 @@ class CropDataset:
         s = self.samples[index]
         if self.use_detections and s.detect_bbox is None:
             return self.dummy_item(s)
+        if self.use_native:
+            return self._native_item(s)
 
         img = cv2.imread(s.rgb_path)[:, :, ::-1]  # BGR -> RGB
         mask_visib = cv2.imread(s.mask_visib_path, 0)
@@ -118,6 +127,33 @@ class CropDataset:
             "image": np.ascontiguousarray(roi_img),             # uint8 HWC
             "mask_visib": roi_mv.astype(np.float32) / 255.0,
             "mask_full": roi_mf.astype(np.float32) / 255.0,
+            "R": s.R.astype(np.float32), "t": s.t.astype(np.float32),
+            "bbox": final.astype(np.float32),
+            "cam_K": s.cam_K.astype(np.float32),
+            "proj_xy": proj_xy.astype(np.float32),
+            "obj_id": np.int32(s.obj_id),
+            "obj_idx": np.int32(self.obj_id_to_idx[s.obj_id] if self.obj_id_to_idx else 0),
+            "scene_id": np.int32(s.scene_id), "im_id": np.int32(s.im_id),
+            "valid": np.float32(1.0),
+        }
+
+    def _native_item(self, s: Sample) -> Dict[str, np.ndarray]:
+        """Single-call C++ decode + square-crop + resize (exact cv2 parity,
+        see native/loadercore.cpp)."""
+        from checkerpose_tpu.data import native_loader
+        if self.is_train:
+            bbox = geometry.aug_bbox(s.bbox_visib, self.padding_ratio, self.rng)
+        else:
+            base = s.detect_bbox if self.use_detections else s.bbox_visib
+            bbox = geometry.padding_bbox(base, self.padding_ratio)
+        img, mf, mv, (w, h) = native_loader.load_sample(
+            s.rgb_path, s.mask_path, s.mask_visib_path,
+            bbox.astype(np.float64), self.crop_size_img, self.crop_size_gt)
+        p3d = self.p3d_table[s.obj_id] if self.p3d_table else self.p3d
+        proj_xy, _ = geometry.project_pts(p3d, s.cam_K, s.R, s.t)
+        final = geometry.final_bbox(bbox, self.resize_method, w, h)
+        return {
+            "image": img, "mask_visib": mv, "mask_full": mf,
             "R": s.R.astype(np.float32), "t": s.t.astype(np.float32),
             "bbox": final.astype(np.float32),
             "cam_K": s.cam_K.astype(np.float32),

@@ -1,0 +1,69 @@
+"""Native C++ data-loader core vs the cv2 reference path."""
+import numpy as np
+import pytest
+
+from checkerpose_tpu.data import native_loader as nl
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    from checkerpose_tpu.data.synthetic import make_synthetic_bop
+    root = str(tmp_path_factory.mktemp("bop"))
+    make_synthetic_bop(root, n_objects=1, n_scenes=1, n_images=2)
+    rgb = f"{root}/synth/test/000000/rgb/000000.png"
+    mask = f"{root}/synth/test/000000/mask/000000_000000.png"
+    return rgb, mask
+
+
+@pytest.mark.skipif(not nl.available(), reason="native loadercore not built")
+@pytest.mark.parametrize("bbox", [
+    [250., 150., 180., 140.],
+    [-40., -30., 200., 260.],    # off top-left
+    [500., 380., 220., 160.],    # off bottom-right
+])
+def test_native_matches_cv2(synth, bbox):
+    from checkerpose_tpu.ops.crop import get_roi_np
+    rgb, mask = synth
+    bbox = np.array(bbox)
+    img_n, mf_n, mv_n, (w, h) = nl.load_sample(rgb, mask, mask, bbox, 256, 64)
+    assert (w, h) == (640, 480)
+    img = cv2.imread(rgb)[:, :, ::-1]
+    msk = cv2.imread(mask, 0)
+    img_c = get_roi_np(img, bbox, 256, "linear", "crop_square_resize")
+    mf_c = get_roi_np(msk, bbox, 64, "nearest", "crop_square_resize").astype(np.float32) / 255.0
+    assert np.abs(img_n.astype(int) - img_c.astype(int)).max() <= 1  # rounding
+    np.testing.assert_array_equal(mf_n, mf_c)
+
+
+@pytest.mark.skipif(not nl.available(), reason="native loadercore not built")
+def test_native_batch_and_failures(synth):
+    rgb, mask = synth
+    bboxes = np.tile(np.array([250., 150., 180., 140.]), (3, 1))
+    imgs, mf, mv, fails = nl.load_batch(
+        [rgb, "/nonexistent.png", rgb], [mask] * 3, [mask] * 3, bboxes, 128, 32)
+    assert fails == 1
+    assert imgs.shape == (3, 128, 128, 3)
+    assert imgs[1].sum() == 0  # failed sample zero-filled
+    assert imgs[0].sum() > 0 and np.array_equal(imgs[0], imgs[2])
+
+
+@pytest.mark.skipif(not nl.available(), reason="native loadercore not built")
+def test_cropdataset_native_matches_python(synth, tmp_path_factory):
+    from checkerpose_tpu.data.synthetic import make_synthetic_bop
+    from checkerpose_tpu.data.bop_io import scan_bop_object
+    from checkerpose_tpu.data.dataset import CropDataset
+    from checkerpose_tpu.data.fps import load_keypoints_normed
+    root = str(tmp_path_factory.mktemp("bop2"))
+    make_synthetic_bop(root, n_objects=1, n_scenes=1, n_images=2)
+    samples = scan_bop_object(root, "synth", "test", obj_id=1)
+    xyz, _ = load_keypoints_normed(root, "synth", 1, 64)
+    ds_py = CropDataset(samples, xyz, is_train=False)
+    ds_na = CropDataset(samples, xyz, is_train=False, use_native=True)
+    assert ds_na.use_native
+    a, b = ds_py[0], ds_na[0]
+    assert np.abs(a["image"].astype(int) - b["image"].astype(int)).max() <= 1
+    np.testing.assert_array_equal(a["mask_visib"], b["mask_visib"])
+    np.testing.assert_array_equal(a["bbox"], b["bbox"])
+    np.testing.assert_allclose(a["proj_xy"], b["proj_xy"])
