@@ -75,7 +75,7 @@ def make_pretrain_step(net, knn_idx, optimizer: optax.GradientTransformation,
     total_bits = int(jnp.log2(crop_size_gt))
     res_log2 = net.res_log2
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: Dict[str, Any], batch, key):
         imgs = device_augment_normalize(batch["image"], key, use_pepper_salt,
                                         use_motion_blur, train=True)
@@ -165,7 +165,7 @@ def make_train_step(net, knn_idx, optimizer: optax.GradientTransformation,
     crop_size_gt = 2 ** res_log2
     active_bits = res_log2 if full_bits else 3 + stage
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: Dict[str, Any], batch, key):
         imgs = device_augment_normalize(batch["image"], key, use_pepper_salt,
                                         use_motion_blur, train=True)

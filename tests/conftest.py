@@ -16,5 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # (never closures) -- eager dispatch of a long op chain takes minutes here.
 import jax  # noqa: E402
 
+# the env var alone is overridden by this image's site hooks (axon plugin);
+# the config update is authoritative
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
