@@ -75,3 +75,33 @@ def test_hrnet_backbone_shapes():
     feats = net.apply(vars_, img, train=False)
     assert [f.shape[-1] for f in feats] == [128, 256, 512, 1024]
     assert [f.shape[1] for f in feats] == [16, 8, 4, 2]
+
+
+@pytest.mark.parametrize("name,n_feats,last_ch", [
+    ("convnext_tiny", 3, 768),
+    ("darknet53", 5, 1024),
+])
+def test_other_backbones(name, n_feats, last_ch):
+    from checkerpose_tpu.models.backbone import make_backbone, BACKBONE_FEAT_DIMS
+    net = make_backbone(name, dtype=jnp.float32)
+    img = jnp.zeros((1, 64, 64, 3))
+    vars_ = net.init(jax.random.PRNGKey(0), img, False)
+    feats = net.apply(vars_, img, False)
+    assert len(feats) == n_feats
+    assert [f.shape[-1] for f in feats] == BACKBONE_FEAT_DIMS[name]
+    assert feats[-1].shape[1] == 2  # stride 32 on 64px input
+
+
+def test_posenet_with_convnext():
+    """Progressive refinement works on a 3-map pyramid (strides 8/16/32)."""
+    rng = np.random.default_rng(0)
+    p3d = rng.standard_normal((16, 3)).astype(np.float32)
+    knn = knn_index(p3d, 5)
+    net = PoseNet(npoint=16, res_log2=6, backbone_name="convnext_tiny",
+                  num_graph_module=1, init_num_graph_module=1, dtype=jnp.float32)
+    img = jnp.zeros((1, 256, 256, 3))
+    p3dj = jnp.asarray(p3d)[None]
+    v = net.init(jax.random.PRNGKey(0), img, knn, p3dj, stage=3, train=False)
+    out = net.apply(v, img, knn, p3dj, stage=3, train=False)
+    assert out["x_logits"].shape == (1, 16, 6)
+    assert out["seg_logits"].shape == (1, 64, 64, 2)
