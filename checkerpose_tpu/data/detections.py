@@ -51,3 +51,10 @@ def ycbv_select_keyframe(detections, samples: List[Sample]) -> List[Sample]:
     (`get_detection_results.py:133-150`)."""
     keys = set(detections.keys())
     return [s for s in samples if (s.scene_id, s.im_id) in keys]
+
+
+def detection_scores(detections, samples: List[Sample]) -> List[float]:
+    """Best score per sample, -1 when the detector missed (reference
+    `get_detection_scores`, `get_detection_results.py:66-131`)."""
+    return [detections.get((s.scene_id, s.im_id), (None, -1.0))[1]
+            for s in samples]

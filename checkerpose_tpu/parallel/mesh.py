@@ -59,3 +59,28 @@ def replicate_tree(tree, mesh: Mesh):
     """Fully replicate a pytree (params/opt state) across the mesh."""
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_manifest(samples, process_index: Optional[int] = None,
+                   process_count: Optional[int] = None):
+    """Per-host manifest shard for multi-host input pipelines: host i reads
+    samples[i::n]. Pair with make_global_batch to form global arrays."""
+    import jax
+    pi = process_index if process_index is not None else jax.process_index()
+    pc = process_count if process_count is not None else jax.process_count()
+    return samples[pi::pc]
+
+
+def make_global_batch(batch: dict, mesh: Mesh) -> dict:
+    """Assemble a globally-sharded batch from per-process local data
+    (jax.make_array_from_process_local_data). On a single process this is
+    equivalent to shard_batch."""
+    import jax
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        sh = replicated(mesh) if v.ndim == 0 else data_sharding(mesh, v.ndim)
+        out[k] = jax.make_array_from_process_local_data(sh, v)
+    return out

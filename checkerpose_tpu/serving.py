@@ -1,0 +1,74 @@
+"""High-level serving API: crops -> poses on device.
+
+Packages the production inference path (the same two-dispatch structure as
+bench.py -- network forward + decode in one program, batched RANSAC-EPnP in a
+second; fusing them into one XLA program degrades the solver ~100x):
+
+    pipe = ServingPipeline(net, knn, variables, p3d_xyz, p3d_normed)
+    out = pipe(images_u8, bboxes, cam_K, key)   # dict with R, t, inliers
+
+This is the TPU replacement for the reference's test-time loop
+(batch-1 GPU forward + per-image CPU PnP, `test.py:279-368`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from checkerpose_tpu.eval.decode import ids_to_correspondences
+from checkerpose_tpu.ops import crop
+from checkerpose_tpu.solver.ransac import solve_poses_batched
+
+
+class ServingPipeline:
+    def __init__(self, net, knn_idx, variables, p3d_xyz, p3d_normed, *,
+                 stage: Optional[int] = None, num_hyp: int = 128,
+                 reproj_thresh: float = 2.0, soft_inlier_sigma: float = 0.0,
+                 check_seg: bool = True, discard_bd_pixel: int = 0):
+        self.net = net
+        self.knn_idx = knn_idx
+        self.variables = variables
+        self.stage = stage if stage is not None else net.num_refine_steps
+        self.res = 2 ** (3 + self.stage)
+        self.p3d = jnp.asarray(p3d_xyz, jnp.float32)
+        self.p3dn = jnp.asarray(p3d_normed, jnp.float32)
+        self.num_hyp = num_hyp
+        self.reproj_thresh = reproj_thresh
+        self.soft_inlier_sigma = soft_inlier_sigma
+
+        stage_ = self.stage
+        res = self.res
+        knn = knn_idx
+        netm = net
+
+        @jax.jit
+        def stage1(variables, images_u8, bbox, p3dn_b):
+            imgs = crop.normalize_image(images_u8.astype(jnp.float32))
+            out = netm.apply(variables, imgs, knn, p3dn_b, stage=stage_,
+                             train=False)
+            roi = (out["roi_logit"][..., 0] > 0.0).astype(jnp.float32)
+            seg = jax.nn.sigmoid(out["seg_logits"][..., 0]) if check_seg else None
+            p2d, valid = ids_to_correspondences(
+                out["x_id"], out["y_id"], roi, bbox, crop_size_gt=res,
+                seg_mask=seg, check_seg=check_seg,
+                discard_bd_pixel=discard_bd_pixel)
+            return p2d, valid
+
+        self._stage1 = stage1
+
+    def __call__(self, images_u8, bboxes, cam_K, key):
+        """images_u8 (B,256,256,3) uint8; bboxes (B,4) final square crops;
+        cam_K (3,3) or (B,3,3). Returns dict(R (B,3,3), t (B,3),
+        num_inliers (B,), success (B,))."""
+        B = images_u8.shape[0]
+        p3dn_b = jnp.broadcast_to(self.p3dn[None], (B,) + self.p3dn.shape)
+        p2d, valid = self._stage1(self.variables, jnp.asarray(images_u8),
+                                  jnp.asarray(bboxes, jnp.float32), p3dn_b)
+        sol = solve_poses_batched(self.p3d, p2d, valid, jnp.asarray(cam_K),
+                                  key, num_hyp=self.num_hyp,
+                                  reproj_thresh=self.reproj_thresh,
+                                  soft_inlier_sigma=self.soft_inlier_sigma)
+        return sol
