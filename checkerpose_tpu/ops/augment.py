@@ -33,19 +33,21 @@ _MOTION_KERNELS = None
 
 
 def _motion_kernels(k=5):
-    """Four 5-tap line kernels (horizontal/vertical/two diagonals)."""
+    """Four 5-tap line kernels (horizontal/vertical/two diagonals).
+
+    Cached as NUMPY (caching a jnp array built during a jit trace would leak
+    a tracer into module state); jnp conversion happens per use site.
+    """
     global _MOTION_KERNELS
     if _MOTION_KERNELS is None:
         import numpy as np
-        ks = []
         base = np.zeros((k, k), np.float32)
         h = base.copy(); h[k // 2, :] = 1.0 / k
         v = base.copy(); v[:, k // 2] = 1.0 / k
         d1 = np.eye(k, dtype=np.float32) / k
         d2 = np.fliplr(np.eye(k, dtype=np.float32)) / k
-        ks = np.stack([h, v, d1, d2])
-        _MOTION_KERNELS = jnp.asarray(ks)
-    return _MOTION_KERNELS
+        _MOTION_KERNELS = np.stack([h, v, d1, d2])
+    return jnp.asarray(_MOTION_KERNELS)
 
 
 def _depthwise_conv(img, kern):
