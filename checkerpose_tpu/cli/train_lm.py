@@ -72,7 +72,8 @@ def main(cfg):
             seg_full_loss_weight=float(cfg.get("seg_full_loss_weight", 1.0)),
             use_pepper_salt=bool(cfg.get("use_peper_salt", True)),
             use_motion_blur=bool(cfg.get("use_motion_blur", True)),
-            full_bits=full_bits)
+            full_bits=full_bits,
+            color_aug_prob=float(cfg.get("color_aug_prob", 0.8)))
 
     writer = MetricWriter(cfg["tensorboard_path"])
     sorted_ids = sorted(cfg["obj_ids"])

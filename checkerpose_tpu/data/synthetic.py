@@ -48,23 +48,34 @@ def _random_rotation(rng):
     return Q
 
 
-def _render(verts, R, t, K, rng, color):
+def _vertex_colors(n, rng):
+    """Distinct, stable per-vertex colors (orientation-dependent appearance:
+    the pose is readable from WHICH colors are where, making keypoint
+    localization learnable -- flat shading alone leaves the orientation
+    unobservable and code training stuck at chance)."""
+    return rng.integers(40, 255, (n, 3))
+
+
+def _render(verts, R, t, K, rng, vert_colors):
     cam = verts @ R.T + t[None]
-    uv = cam @ K.T
-    uv = (uv[:, :2] / uv[:, 2:3]).astype(np.int32)
+    uvf = cam @ K.T
+    uv = (uvf[:, :2] / uvf[:, 2:3]).astype(np.int32)
+    depth = cam[:, 2]
     img = (rng.integers(40, 200, (IM_H, IM_W, 3))).astype(np.uint8)
-    # mild background structure
     img[:, ::7] = img[:, ::7] // 2
     mask = np.zeros((IM_H, IM_W), np.uint8)
     hull = cv2.convexHull(uv)
     cv2.fillConvexPoly(mask, hull, 255)
-    obj_px = mask > 0
-    # flat shading modulated by x coordinate for some texture
-    shade = np.clip((np.arange(IM_W)[None, :] % 64) * 2 + 96, 0, 255).astype(np.uint8)
-    shade = np.broadcast_to(shade, (IM_H, IM_W))
-    for c in range(3):
-        ch = img[:, :, c]
-        ch[obj_px] = (int(color[c]) * shade[obj_px].astype(np.int32)) // 255
+    # object layer: splat vertices far-to-near with their unique colors
+    obj = np.full((IM_H, IM_W, 3), 90, np.uint8)
+    order = np.argsort(-depth)
+    rad = max(int(12 * 400.0 / float(depth.mean())), 3)
+    for i in order:
+        c = vert_colors[i]
+        cv2.circle(obj, (int(uv[i, 0]), int(uv[i, 1])), rad,
+                   (int(c[0]), int(c[1]), int(c[2])), -1)
+    fg = mask > 0
+    img[fg] = obj[fg]
     return img, mask
 
 
@@ -117,7 +128,8 @@ def make_synthetic_bop(root: str, dataset: str = "synth", n_objects: int = 2,
                    "fx": K_DEFAULT[0, 0], "fy": K_DEFAULT[1, 1],
                    "width": IM_W, "height": IM_H, "depth_scale": 1.0}, f)
 
-    colors = [(220, 60, 60), (60, 200, 80), (90, 90, 230), (230, 200, 60)]
+    vert_colors = {obj_id: _vertex_colors(len(objects[obj_id]), rng)
+                   for obj_id in objects}
     detections = {}
     targets = []
     for folder in folders:
@@ -132,7 +144,7 @@ def make_synthetic_bop(root: str, dataset: str = "synth", n_objects: int = 2,
                 R = _random_rotation(rng)
                 t = np.array([rng.uniform(-60, 60), rng.uniform(-40, 40),
                               rng.uniform(350, 550)])
-                img, mask = _render(verts, R, t, K_DEFAULT, rng, colors[obj_id - 1])
+                img, mask = _render(verts, R, t, K_DEFAULT, rng, vert_colors[obj_id])
                 ys, xs = np.nonzero(mask)
                 bbox = [int(xs.min()), int(ys.min()),
                         int(xs.max() - xs.min() + 1), int(ys.max() - ys.min() + 1)]

@@ -17,10 +17,36 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
+import functools
+
+import jax.numpy as jnp_  # local alias to avoid shadowing
+
 from checkerpose_tpu.eval import metrics as M
 from checkerpose_tpu.eval.decode import ids_to_correspondences
+from checkerpose_tpu.ops import codes as _codes
 from checkerpose_tpu.solver.ransac import solve_poses_batched
 from checkerpose_tpu.train import steps
+
+
+@functools.partial(jax.jit, static_argnames=("res",))
+def _bit_errors(x_id, y_id, roi_mask, proj_xy, bbox, res: int):
+    """Per-bit code errors of the hard predictions vs GT labels, masked by
+    the GT in-RoI bit (reference test.py:432-451 semantics). Returns
+    (B, 1 + 2*log2(res))."""
+    import math
+    L = int(math.log2(res))
+    from checkerpose_tpu.ops import geometry as _geom
+    f = functools.partial(_geom.make_code_labels, crop_size_gt=res)
+    gt_bit, gt_x, gt_y = jax.vmap(f)(proj_xy, bbox)
+    m = gt_bit[:, :, None]
+    n = jnp_.clip(jnp_.sum(gt_bit, axis=1), 1.0, None)
+    dxb = jnp_.abs(_codes.ids_to_codes(x_id, L) - _codes.ids_to_codes(gt_x, L)) * m
+    dyb = jnp_.abs(_codes.ids_to_codes(y_id, L) - _codes.ids_to_codes(gt_y, L)) * m
+    err_roi = jnp_.mean(jnp_.abs(roi_mask - gt_bit), axis=1)
+    return jnp_.concatenate([
+        err_roi[:, None],
+        jnp_.sum(dxb, axis=1) / n[:, None],
+        jnp_.sum(dyb, axis=1) / n[:, None]], axis=1)
 
 
 def evaluate_init(net, knn_idx, variables, loader, crop_size_gt: int,
@@ -74,6 +100,7 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
     per_mode_te = {m: [] for m in filter_modes}
     poses: List[Dict] = []
     seg_acc, seg_iou = [], []
+    bit_errs = []
     n_images = 0
 
     for batch in loader:
@@ -104,6 +131,12 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
             per_mode_re[mode].append(np.where(ok, np.asarray(errs["re"]), 180.0)[:n_real])
             per_mode_te[mode].append(np.where(ok, np.asarray(errs["te"]), np.inf)[:n_real])
             mode_results[mode] = sol
+
+        if "proj_xy" in batch:
+            be = _bit_errors(out["x_id"], out["y_id"], out["roi_mask"],
+                             jnp.asarray(batch["proj_xy"]),
+                             jnp.asarray(batch["bbox"]), res)
+            bit_errs.append(np.asarray(be)[:n_real][sample_valid[:n_real]])
 
         # seg metrics against GT visib mask at the stage resolution
         gt_mask = np.asarray(batch["mask_visib"])
@@ -142,5 +175,7 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
         report[mode] = res_m
     report["seg_acc"] = float(np.mean(seg_acc)) if seg_acc else 1.0
     report["seg_iou"] = float(np.mean(seg_iou)) if seg_iou else 1.0
+    if bit_errs:
+        report["bit_err"] = np.concatenate(bit_errs).mean(axis=0).tolist()
     report["test_acc"] = report[main_filter]["adx10"]
     return report

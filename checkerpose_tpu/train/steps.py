@@ -48,13 +48,14 @@ def device_labels(batch: Dict[str, jnp.ndarray], crop_size_gt: int):
 
 
 def device_augment_normalize(images_u8, key, use_pepper_salt, use_motion_blur,
-                             train: bool):
+                             train: bool, color_aug_prob: float = 0.8):
     imgs = images_u8.astype(jnp.float32)
-    if train:
+    if train and color_aug_prob > 0:
         keys = jax.random.split(key, imgs.shape[0])
         aug = functools.partial(augment.color_augment,
                                 use_pepper_salt=use_pepper_salt,
-                                use_motion_blur=use_motion_blur)
+                                use_motion_blur=use_motion_blur,
+                                apply_prob=color_aug_prob)
         imgs = jax.vmap(aug)(keys, imgs)
     return crop.normalize_image(imgs)
 
@@ -71,14 +72,16 @@ def _code_labels_bits(x_id, y_id, total_bits: int, use_bits: int):
 def make_pretrain_step(net, knn_idx, optimizer: optax.GradientTransformation,
                        crop_size_gt: int, *, mask_loss_type="BCE",
                        proj_loss_type="BCE", proj_bit_loss_weight=1.0,
-                       use_pepper_salt=True, use_motion_blur=True):
+                       use_pepper_salt=True, use_motion_blur=True,
+                       color_aug_prob=0.8):
     total_bits = int(jnp.log2(crop_size_gt))
     res_log2 = net.res_log2
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: Dict[str, Any], batch, key):
         imgs = device_augment_normalize(batch["image"], key, use_pepper_salt,
-                                        use_motion_blur, train=True)
+                                        use_motion_blur, train=True,
+                                        color_aug_prob=color_aug_prob)
         roi_bit, x_id, y_id = device_labels(batch, crop_size_gt)
         gt_x, gt_y = _code_labels_bits(x_id, y_id, total_bits, res_log2)
         knn_b = knn_for_batch(knn_idx, batch)
@@ -156,7 +159,7 @@ def make_train_step(net, knn_idx, optimizer: optax.GradientTransformation,
                     stage: int, *, roi_loss_type="BCE", proj_loss_type="BCE",
                     seg_visib_loss_weight=1.0, seg_full_loss_weight=1.0,
                     use_pepper_salt=True, use_motion_blur=True,
-                    full_bits=False):
+                    full_bits=False, color_aug_prob=0.8):
     """Full-pipeline train step; one compiled variant per curriculum stage.
 
     full_bits: the woProg ablation emits all res_log2 bits at every stage
@@ -168,7 +171,8 @@ def make_train_step(net, knn_idx, optimizer: optax.GradientTransformation,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: Dict[str, Any], batch, key):
         imgs = device_augment_normalize(batch["image"], key, use_pepper_salt,
-                                        use_motion_blur, train=True)
+                                        use_motion_blur, train=True,
+                                        color_aug_prob=color_aug_prob)
         roi_bit, x_id, y_id = device_labels(batch, crop_size_gt)
         gt_x, gt_y = _code_labels_bits(x_id, y_id, res_log2, active_bits)
         p3d = batch["p3d_normed"]

@@ -63,3 +63,13 @@ def test_logits_threshold():
     # sigmoid(x) > 0.5 <=> x > 0
     m = np.asarray(codes.logits_to_mask(logits))
     np.testing.assert_array_equal(m, [[0.0, 1.0, 1.0, 0.0]])
+
+
+def test_config_stage_curriculum():
+    from checkerpose_tpu.config import get_train_stage, stage_start_steps
+    starts = stage_start_steps({"stage_start_steps_str": "0_1000_2000"})
+    assert starts == (0, 1000, 2000)
+    assert get_train_stage(0, starts) == 1
+    assert get_train_stage(1500, starts) == 2
+    assert get_train_stage(99999, starts) == 3
+    assert stage_start_steps({}) is None
