@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 REF_CROPS_PER_SEC = 40.0
-BATCH = 256
+BATCH = 512
 NPOINT = 512
 
 

@@ -11,15 +11,13 @@ Everything heavy is batched on device; the host only aggregates scalars.
 """
 from __future__ import annotations
 
+import functools
+import math
 from typing import Dict, List, Optional
 
 import jax
 import numpy as np
 import jax.numpy as jnp
-
-import functools
-
-import jax.numpy as jnp_  # local alias to avoid shadowing
 
 from checkerpose_tpu.eval import metrics as M
 from checkerpose_tpu.eval.decode import ids_to_correspondences
@@ -33,20 +31,19 @@ def _bit_errors(x_id, y_id, roi_mask, proj_xy, bbox, res: int):
     """Per-bit code errors of the hard predictions vs GT labels, masked by
     the GT in-RoI bit (reference test.py:432-451 semantics). Returns
     (B, 1 + 2*log2(res))."""
-    import math
-    L = int(math.log2(res))
     from checkerpose_tpu.ops import geometry as _geom
+    L = int(math.log2(res))
     f = functools.partial(_geom.make_code_labels, crop_size_gt=res)
     gt_bit, gt_x, gt_y = jax.vmap(f)(proj_xy, bbox)
     m = gt_bit[:, :, None]
-    n = jnp_.clip(jnp_.sum(gt_bit, axis=1), 1.0, None)
-    dxb = jnp_.abs(_codes.ids_to_codes(x_id, L) - _codes.ids_to_codes(gt_x, L)) * m
-    dyb = jnp_.abs(_codes.ids_to_codes(y_id, L) - _codes.ids_to_codes(gt_y, L)) * m
-    err_roi = jnp_.mean(jnp_.abs(roi_mask - gt_bit), axis=1)
-    return jnp_.concatenate([
+    n = jnp.clip(jnp.sum(gt_bit, axis=1), 1.0, None)
+    dxb = jnp.abs(_codes.ids_to_codes(x_id, L) - _codes.ids_to_codes(gt_x, L)) * m
+    dyb = jnp.abs(_codes.ids_to_codes(y_id, L) - _codes.ids_to_codes(gt_y, L)) * m
+    err_roi = jnp.mean(jnp.abs(roi_mask - gt_bit), axis=1)
+    return jnp.concatenate([
         err_roi[:, None],
-        jnp_.sum(dxb, axis=1) / n[:, None],
-        jnp_.sum(dyb, axis=1) / n[:, None]], axis=1)
+        jnp.sum(dxb, axis=1) / n[:, None],
+        jnp.sum(dyb, axis=1) / n[:, None]], axis=1)
 
 
 def evaluate_init(net, knn_idx, variables, loader, crop_size_gt: int,
