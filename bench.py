@@ -56,14 +56,19 @@ def main():
                              np.float32))
 
     # The pipeline runs as TWO dispatches: (1) network forward + decode,
-    # (2) batched RANSAC-EPnP. Fusing them into one jitted program makes XLA
-    # schedule the solver subgraph ~100x slower (measured 349ms vs 2.3ms for
-    # the identical solver compiled standalone); two dispatches keep each
-    # program near speed-of-light and the eval harness does the same.
+    # (2) batched RANSAC-EPnP -- same structure as the eval harness and
+    # ServingPipeline. (Measured equal to a single fused program: 192ms vs
+    # 198ms at batch 64 with honest host-synced timing.)
+    # EdgeConv layers run the fused Pallas kernel (ops/pallas_edgeconv.py),
+    # parity-tested against the XLA path; ~1.35x faster forward on v5e
+    from checkerpose_tpu.models.fused import build_fused_registry, fused_edgeconv
+    registry = build_fused_registry(variables, knn)
+
     @jax.jit
     def stage1(variables, images_u8, bbox, p3d_normed):
         imgs = crop.normalize_image(images_u8.astype(jnp.float32))
-        out = net.apply(variables, imgs, knn, p3d_normed, stage=3, train=False)
+        with fused_edgeconv(registry):
+            out = net.apply(variables, imgs, knn, p3d_normed, stage=3, train=False)
         roi = (out["roi_logit"][..., 0] > 0.0).astype(jnp.float32)
         p2d, valid = ids_to_correspondences(
             out["x_id"], out["y_id"], roi, bbox, crop_size_gt=64,
@@ -84,15 +89,17 @@ def main():
     R, t, ni = fn(variables, images, bbox, p3dj, p3dnj, key)
     R.block_until_ready()
 
-    # NOTE: keys are precomputed on device and no eager ops run inside the
-    # timing loop -- on this tunneled-TPU setup per-call dispatch latency
-    # (~15ms) would otherwise dwarf the ~5ms of actual compute per batch.
+    # NOTE: on this tunneled-TPU setup block_until_ready returns before the
+    # computation finishes (verified: a known-FLOP matmul chain "measured"
+    # 100x above hardware peak). The only reliable sync is materializing a
+    # result-derived scalar on the host, so each iteration fetches one.
     n_iters = 20
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_iters))
+    float(jnp.sum(ni))  # sync warmup
     t0 = time.perf_counter()
     for i in range(n_iters):
         R, t, ni = fn(variables, images, bbox, p3dj, p3dnj, keys[i])
-    R.block_until_ready()
+        float(jnp.sum(ni))  # host-sync: forces the full pipeline to finish
     dt = time.perf_counter() - t0
     crops_per_sec = BATCH * n_iters / dt
 

@@ -9,11 +9,18 @@ lowers to a single fused gather (the reference's `batch_indices` machinery,
 """
 from __future__ import annotations
 
-from typing import Any
+import contextvars
+from typing import Any, Dict
 
 import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
+
+# Fused-kernel registry: maps an EdgeConv's scope path ("init_net","graph_0")
+# to a FusedEdgeConvParams callable (ops/pallas_edgeconv.py). Set by
+# models.fused.make_fused_variables; empty = always use the XLA path.
+_FUSED_REGISTRY: contextvars.ContextVar[Dict[tuple, Any]] = contextvars.ContextVar(
+    "edgeconv_fused_registry", default={})
 
 
 def gather_neighbors(x: jnp.ndarray, knn_idx) -> jnp.ndarray:
@@ -40,6 +47,18 @@ class EdgeConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, knn_idx, train: bool):
+        if not train:
+            reg = _FUSED_REGISTRY.get()
+            if reg:
+                try:
+                    path = tuple(self.scope.path)
+                except Exception:
+                    path = None
+                fused = reg.get(path)
+                if fused is not None:
+                    # params stay in `variables`; flax apply does not require
+                    # every param to be consumed
+                    return fused(x).astype(x.dtype)
         xj = gather_neighbors(x, knn_idx)                       # (B, N, K, C)
         xi = jnp.broadcast_to(x[:, :, None, :], xj.shape)
         e = jnp.concatenate([xj - xi, xi], axis=-1)             # (B, N, K, 2C)

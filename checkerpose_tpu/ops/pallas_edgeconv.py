@@ -96,7 +96,9 @@ class FusedEdgeConvParams:
 
     def __init__(self, knn_idx: np.ndarray, kernel: np.ndarray,
                  bn_scale, bn_bias, bn_mean, bn_var, *, tile_n: int = 128,
-                 eps: float = 1e-5, slope: float = 0.2, dtype=jnp.bfloat16):
+                 eps: float = 1e-5, slope: float = 0.2, dtype=jnp.bfloat16,
+                 interpret: bool = False):
+        self.interpret = interpret
         N, K = knn_idx.shape
         tile_n = min(tile_n, N)
         self.tile_n = tile_n
@@ -111,7 +113,8 @@ class FusedEdgeConvParams:
         self.bias = jnp.asarray(np.asarray(bn_bias) - np.asarray(bn_mean) * s,
                                 jnp.float32)
 
-    def __call__(self, x, interpret: bool = False):
+    def __call__(self, x, interpret: bool = None):
+        interpret = self.interpret if interpret is None else interpret
         return edgeconv_fused_pallas(x, self.sel, self.w1, self.w2m1,
                                      self.scale, self.bias, tile_n=self.tile_n,
                                      slope=self.slope, interpret=interpret)

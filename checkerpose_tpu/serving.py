@@ -1,8 +1,8 @@
 """High-level serving API: crops -> poses on device.
 
-Packages the production inference path (the same two-dispatch structure as
-bench.py -- network forward + decode in one program, batched RANSAC-EPnP in a
-second; fusing them into one XLA program degrades the solver ~100x):
+Packages the production inference path (network forward + decode in one
+program, batched RANSAC-EPnP in a second; measured equal to a single fused
+program, the split simply mirrors the eval harness structure):
 
     pipe = ServingPipeline(net, knn, variables, p3d_xyz, p3d_normed)
     out = pipe(images_u8, bboxes, cam_K, key)   # dict with R, t, inliers
@@ -27,7 +27,8 @@ class ServingPipeline:
     def __init__(self, net, knn_idx, variables, p3d_xyz, p3d_normed, *,
                  stage: Optional[int] = None, num_hyp: int = 128,
                  reproj_thresh: float = 2.0, soft_inlier_sigma: float = 0.0,
-                 check_seg: bool = True, discard_bd_pixel: int = 0):
+                 check_seg: bool = True, discard_bd_pixel: int = 0,
+                 fused_edgeconv: bool = False):
         self.net = net
         self.knn_idx = knn_idx
         self.variables = variables
@@ -44,11 +45,23 @@ class ServingPipeline:
         knn = knn_idx
         netm = net
 
+        if fused_edgeconv:
+            from checkerpose_tpu.models import fused as _fused
+            registry = _fused.build_fused_registry(
+                variables, np.asarray(knn_idx),
+                init_slope=getattr(net, "init_graph_leaky_slope", 0.2),
+                refine_slope=getattr(net, "graph_leaky_slope", 0.2))
+            ctx = lambda: _fused.fused_edgeconv(registry)  # noqa: E731
+        else:
+            import contextlib
+            ctx = contextlib.nullcontext
+
         @jax.jit
         def stage1(variables, images_u8, bbox, p3dn_b):
             imgs = crop.normalize_image(images_u8.astype(jnp.float32))
-            out = netm.apply(variables, imgs, knn, p3dn_b, stage=stage_,
-                             train=False)
+            with ctx():
+                out = netm.apply(variables, imgs, knn, p3dn_b, stage=stage_,
+                                 train=False)
             roi = (out["roi_logit"][..., 0] > 0.0).astype(jnp.float32)
             seg = jax.nn.sigmoid(out["seg_logits"][..., 0]) if check_seg else None
             p2d, valid = ids_to_correspondences(

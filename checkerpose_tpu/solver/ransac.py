@@ -63,7 +63,9 @@ def ransac_pnp(p3d: jnp.ndarray, p2d: jnp.ndarray, valid: jnp.ndarray,
     h2d = p2d[idx]
     ones = jnp.ones(idx.shape[:2])
 
-    Rs, ts = jax.vmap(lambda a, b, w: epnp(a, b, K, w))(h3d, h2d, ones)
+    # hypothesis solves use the eigh-free EPnP (inverse iteration): ~3x
+    # cheaper with tens of thousands of minimal solves per batch
+    Rs, ts = jax.vmap(lambda a, b, w: epnp(a, b, K, w, use_eigh=False))(h3d, h2d, ones)
     errs = jax.vmap(lambda R, t: reproj_errors(R, t, p3d, p2d, K))(Rs, ts)  # (H, N)
     if soft_inlier_sigma > 0:
         scores = jnp.sum(jax.nn.sigmoid((reproj_thresh - errs) / soft_inlier_sigma)
