@@ -10,7 +10,15 @@ from __future__ import annotations
 import os
 from typing import Dict, Optional
 
+import jax
 import numpy as np
+
+# persistent XLA compile cache: first HRNet jit is minutes on this 1-core
+# host, cached reruns are seconds (CLAUDE.md env rule 5)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from checkerpose_tpu.config import parse_cfg
 from checkerpose_tpu.data.bop_io import scan_bop_object, scan_bop_targets, load_models_info
@@ -48,6 +56,18 @@ def load_keypoints(cfg: Dict):
     return xyz, normed, knn
 
 
+def _frame_cache(cfg: Dict):
+    """Open the pre-decoded frame cache when cfg names one (or when the
+    dataset ships a `frame_cache/` dir, as the scaled synthetic set does)."""
+    cand = cfg.get("frame_cache_dir")
+    if not cand or cand == "none":
+        cand = os.path.join(cfg["bop_path"], cfg["dataset_name"], "frame_cache")
+    if os.path.isfile(os.path.join(str(cand), "index.json")):
+        from checkerpose_tpu.data.framestore import FrameCache
+        return FrameCache(str(cand))
+    return None
+
+
 def build_train_loaders(cfg: Dict, xyz: np.ndarray, seed: int = 0):
     """Train loader (optionally mixing two folders at second_dataset_ratio)
     + validation loader."""
@@ -55,7 +75,8 @@ def build_train_loaders(cfg: Dict, xyz: np.ndarray, seed: int = 0):
     crop_gt = int(cfg.get("BoundingBox_CropSize_GT", 2 ** int(cfg.get("network_res_log2", 6))))
     common = dict(crop_size_img=crop_img, crop_size_gt=crop_gt,
                   padding_ratio=float(cfg.get("padding_ratio", 1.5)),
-                  resize_method=cfg.get("resize_method", "crop_square_resize"))
+                  resize_method=cfg.get("resize_method", "crop_square_resize"),
+                  frame_cache=_frame_cache(cfg))
     vt = float(cfg.get("train_obj_visible_theshold", 0.1))
     batch = int(cfg["batch_size"])
 
@@ -102,7 +123,7 @@ def build_test_loader(cfg: Dict, xyz: np.ndarray, batch_size: int = 16,
                      crop_size_gt=crop_gt,
                      padding_ratio=float(cfg.get("padding_ratio", 1.5)),
                      resize_method=cfg.get("resize_method", "crop_square_resize"),
-                     use_detections=use_det)
+                     use_detections=use_det, frame_cache=_frame_cache(cfg))
     return Loader(ds, batch_size, shuffle=False, drop_last=False, infinite=False), samples
 
 

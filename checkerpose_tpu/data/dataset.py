@@ -39,7 +39,7 @@ class CropDataset:
                  padding_ratio: float = 1.5, resize_method: str = "crop_square_resize",
                  use_detections: bool = False, seed: int = 0,
                  bg_paths: Optional[List[str]] = None, change_bg_prob: float = 0.0,
-                 use_native: bool = False):
+                 use_native: bool = False, frame_cache=None):
         """p3d_xyz: (N, 3) keypoints shared by all samples, or a
         {obj_id: (N, 3)} dict for multi-object (LM) datasets -- items then
         carry `obj_idx`, the row into the stacked keypoint/KNN tables.
@@ -60,6 +60,9 @@ class CropDataset:
             self.p3d = np.asarray(p3d_xyz, np.float64)
         self.bg_paths = bg_paths
         self.change_bg_prob = change_bg_prob
+        # pre-decoded raw-frame cache (data/framestore.py): removes PNG
+        # decode from the hot path on decode-bound hosts
+        self.frame_cache = frame_cache
         # native C++ decode+crop core (native/loadercore.cpp); incompatible
         # with host-side bg replacement (needs the full-frame mask)
         self.use_native = use_native and not bg_paths
@@ -95,16 +98,43 @@ class CropDataset:
             "valid": np.float32(0.0),
         }
 
+    def _read_sample(self, s: Sample):
+        """(rgb, mask_visib, mask_full) from the frame cache when present,
+        else cv2 decode. Returns None on any decode failure."""
+        img = mask_visib = mask_full = None
+        if self.frame_cache is not None:
+            img = self.frame_cache.get_frame(s.rgb_path)
+            mask_visib = self.frame_cache.get_mask(s.mask_visib_path)
+            mask_full = self.frame_cache.get_mask(s.mask_path)
+        if img is None:
+            img = cv2.imread(s.rgb_path)
+            img = img[:, :, ::-1] if img is not None else None  # BGR -> RGB
+        if mask_visib is None:
+            mask_visib = cv2.imread(s.mask_visib_path, 0)
+        if mask_full is None:
+            mask_full = cv2.imread(s.mask_path, 0)
+        if img is None or mask_visib is None or mask_full is None:
+            return None
+        return img, mask_visib, mask_full
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         s = self.samples[index]
         if self.use_detections and s.detect_bbox is None:
             return self.dummy_item(s)
         if self.use_native:
-            return self._native_item(s)
+            try:
+                return self._native_item(s)
+            except Exception as e:  # corrupt input: degrade, don't kill the run
+                print(f"cannot load sample {s.rgb_path}: {e}", flush=True)
+                return self.dummy_item(s)
 
-        img = cv2.imread(s.rgb_path)[:, :, ::-1]  # BGR -> RGB
-        mask_visib = cv2.imread(s.mask_visib_path, 0)
-        mask_full = cv2.imread(s.mask_path, 0)
+        # decode failure -> dummy sample with valid=0, matching the
+        # reference's swallow-and-print recovery (bop_dataset_pytorch.py:297-322)
+        decoded = self._read_sample(s)
+        if decoded is None:
+            print(f"cannot load sample {s.rgb_path}", flush=True)
+            return self.dummy_item(s)
+        img, mask_visib, mask_full = decoded
 
         if self.is_train and self.bg_paths and self.rng.random() < self.change_bg_prob:
             img = self._replace_bg(img, mask_full)
@@ -217,12 +247,17 @@ class Loader:
         stop = object()
 
         def worker():
-            for chunk, n_real in self._index_stream():
-                items = [self.ds[int(j)] for j in chunk]
-                batch = _stack(items)
-                batch["n_real"] = np.int32(n_real)
-                q.put(batch)
-            q.put(stop)
+            # any exception is shipped to the consumer instead of dying
+            # silently in the daemon thread (which would hang q.get())
+            try:
+                for chunk, n_real in self._index_stream():
+                    items = [self.ds[int(j)] for j in chunk]
+                    batch = _stack(items)
+                    batch["n_real"] = np.int32(n_real)
+                    q.put(batch)
+                q.put(stop)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()
@@ -230,6 +265,8 @@ class Loader:
             batch = q.get()
             if batch is stop:
                 return
+            if isinstance(batch, BaseException):
+                raise batch
             yield batch
 
 

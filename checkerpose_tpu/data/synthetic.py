@@ -67,9 +67,11 @@ def _render(verts, R, t, K, rng, vert_colors):
     hull = cv2.convexHull(uv)
     cv2.fillConvexPoly(mask, hull, 255)
     # object layer: splat vertices far-to-near with their unique colors
+    # (splat radius shrinks with vertex density so dense meshes keep a
+    # fine-grained, orientation-readable texture)
     obj = np.full((IM_H, IM_W, 3), 90, np.uint8)
     order = np.argsort(-depth)
-    rad = max(int(12 * 400.0 / float(depth.mean())), 3)
+    rad = max(int(12 * 400.0 / float(depth.mean()) * (64.0 / len(verts)) ** 0.5), 2)
     for i in order:
         c = vert_colors[i]
         cv2.circle(obj, (int(uv[i, 0]), int(uv[i, 1])), rad,
@@ -81,17 +83,35 @@ def _render(verts, R, t, K, rng, vert_colors):
 
 def make_synthetic_bop(root: str, dataset: str = "synth", n_objects: int = 2,
                        n_scenes: int = 2, n_images: int = 8, seed: int = 0,
-                       folders=("train_real", "train_pbr", "test")):
+                       folders=("train_real", "train_pbr", "test"),
+                       n_vertices: int = 64, raw_cache: bool = False,
+                       write_png: bool = True, progress: bool = False):
     """Write a complete miniature BOP dataset under `<root>/<dataset>`.
 
     Returns the dataset directory. Layout matches what scan_bop_object /
     load_detections / load_fps_points expect.
+
+    Scale knobs (used by the round-2 accuracy-proof run):
+      * `folders` may be a dict {folder: n_images} for per-split sizes.
+      * `n_vertices`: mesh density; >=1024 supports npt=512 FPS keypoints.
+      * `raw_cache=True`: also write a pre-decoded `data.framestore` cache
+        under `<ds_dir>/frame_cache` (skips PNG decode at train time).
+      * `write_png=False`: skip PNG encode entirely (cache-only training);
+        GT jsons and detections are still written, so manifests scan fine.
     """
     assert cv2 is not None, "synthetic fixture requires cv2"
     rng = np.random.default_rng(seed)
     ds_dir = os.path.join(root, dataset)
     models_dir = os.path.join(ds_dir, "models")
     os.makedirs(models_dir, exist_ok=True)
+    if not isinstance(folders, dict):
+        folders = {f: n_images for f in folders}
+    writer = None
+    if raw_cache:
+        from checkerpose_tpu.data.framestore import FrameCacheWriter
+        total = sum(folders.values()) * n_scenes
+        writer = FrameCacheWriter(os.path.join(ds_dir, "frame_cache"),
+                                  (IM_H, IM_W), total, total)
 
     # objects + models_info + fps keypoints
     models_info = {}
@@ -100,7 +120,7 @@ def make_synthetic_bop(root: str, dataset: str = "synth", n_objects: int = 2,
     os.makedirs(fps_dir, exist_ok=True)
     from checkerpose_tpu.ops.geometry import farthest_point_sample
     for obj_id in range(1, n_objects + 1):
-        verts = _make_object(rng)
+        verts = _make_object(rng, n=n_vertices)
         objects[obj_id] = verts
         save_ply_vertices(os.path.join(models_dir, f"obj_{obj_id:06d}.ply"), verts)
         d = np.linalg.norm(verts[:, None] - verts[None], axis=-1).max()
@@ -132,13 +152,13 @@ def make_synthetic_bop(root: str, dataset: str = "synth", n_objects: int = 2,
                    for obj_id in objects}
     detections = {}
     targets = []
-    for folder in folders:
+    for folder, n_im in folders.items():
         for scene_id in range(n_scenes):
             scene_dir = os.path.join(ds_dir, folder, f"{scene_id:06d}")
             for sub in ("rgb", "mask", "mask_visib"):
                 os.makedirs(os.path.join(scene_dir, sub), exist_ok=True)
             scene_camera, scene_gt, scene_gt_info = {}, {}, {}
-            for im_id in range(n_images):
+            for im_id in range(n_im):
                 obj_id = (im_id % n_objects) + 1
                 verts = objects[obj_id]
                 R = _random_rotation(rng)
@@ -148,9 +168,21 @@ def make_synthetic_bop(root: str, dataset: str = "synth", n_objects: int = 2,
                 ys, xs = np.nonzero(mask)
                 bbox = [int(xs.min()), int(ys.min()),
                         int(xs.max() - xs.min() + 1), int(ys.max() - ys.min() + 1)]
-                cv2.imwrite(os.path.join(scene_dir, "rgb", f"{im_id:06d}.png"), img)
-                cv2.imwrite(os.path.join(scene_dir, "mask", f"{im_id:06d}_000000.png"), mask)
-                cv2.imwrite(os.path.join(scene_dir, "mask_visib", f"{im_id:06d}_000000.png"), mask)
+                rgb_p = os.path.join(scene_dir, "rgb", f"{im_id:06d}.png")
+                mask_p = os.path.join(scene_dir, "mask", f"{im_id:06d}_000000.png")
+                maskv_p = os.path.join(scene_dir, "mask_visib", f"{im_id:06d}_000000.png")
+                if write_png:
+                    cv2.imwrite(rgb_p, img)
+                    cv2.imwrite(mask_p, mask)
+                    cv2.imwrite(maskv_p, mask)
+                if writer is not None:
+                    # imwrite treats `img` as BGR; imread+[::-1] yields RGB,
+                    # so the cache stores the flipped view for parity
+                    writer.add_frame(rgb_p, img[:, :, ::-1])
+                    writer.add_mask(mask_p, mask)
+                    writer.alias_mask(maskv_p, mask_p)
+                if progress and (im_id + 1) % 500 == 0:
+                    print(f"  {folder}/{scene_id}: {im_id + 1}/{n_im}", flush=True)
                 scene_camera[str(im_id)] = {"cam_K": K_DEFAULT.reshape(-1).tolist(),
                                             "depth_scale": 1.0}
                 scene_gt[str(im_id)] = [{
@@ -183,6 +215,8 @@ def make_synthetic_bop(root: str, dataset: str = "synth", n_objects: int = 2,
                 with open(os.path.join(scene_dir, name), "w") as f:
                     json.dump(payload, f)
 
+    if writer is not None:
+        writer.finalize()
     det_dir = os.path.join(root, "detection_results", dataset)
     os.makedirs(det_dir, exist_ok=True)
     with open(os.path.join(det_dir, "synth_detections.json"), "w") as f:

@@ -114,3 +114,58 @@ def test_dummy_on_missing_detection(synth_root):
     item = ds[0]
     assert item["valid"] == 0.0
     assert item["image"].sum() == 0
+
+
+def test_corrupt_png_degrades_to_dummy(synth_root, tmp_path):
+    """A corrupt/truncated image must yield the dummy sample (valid=0), not
+    kill the loader (round-1 VERDICT weak #2; reference
+    bop_dataset_pytorch.py:297-322 swallows-and-prints)."""
+    import copy
+    samples = copy.deepcopy(scan_bop_object(synth_root, "synth", "train_real", obj_id=1))
+    bad = tmp_path / "corrupt.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\n garbage")
+    samples[0].rgb_path = str(bad)
+    xyz, _ = load_keypoints_normed(synth_root, "synth", 1, 64)
+    ds = CropDataset(samples, xyz, is_train=True)
+    item = ds[0]
+    assert item["valid"] == 0.0
+    # the loader still assembles full batches around the dummy
+    loader = Loader(ds, batch_size=4, shuffle=False, infinite=False, drop_last=False)
+    b = next(iter(loader))
+    assert b["image"].shape[0] == 4
+
+
+def test_loader_propagates_worker_exception(synth_root):
+    """Worker-thread exceptions must surface in the consumer instead of
+    hanging q.get() forever (round-1 VERDICT weak #2)."""
+    samples = scan_bop_object(synth_root, "synth", "train_real", obj_id=1)
+    xyz, _ = load_keypoints_normed(synth_root, "synth", 1, 64)
+
+    class Boom(CropDataset):
+        def __getitem__(self, i):
+            raise RuntimeError("decode thread crashed")
+
+    ds = Boom(samples, xyz, is_train=True)
+    loader = Loader(ds, batch_size=2, shuffle=False, infinite=False)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="decode thread crashed"):
+        next(iter(loader))
+
+
+def test_frame_cache_roundtrip(synth_root):
+    """build_frame_cache over an existing BOP layout; CropDataset items are
+    identical with and without the cache."""
+    from checkerpose_tpu.data.framestore import build_frame_cache, FrameCache
+    import tempfile
+    samples = scan_bop_object(synth_root, "synth", "train_real", obj_id=1)
+    xyz, _ = load_keypoints_normed(synth_root, "synth", 1, 64)
+    with tempfile.TemporaryDirectory() as td:
+        fc = build_frame_cache(samples, td)
+        ds_png = CropDataset(samples, xyz, is_train=False)
+        ds_fc = CropDataset(samples, xyz, is_train=False, frame_cache=fc)
+        a, b = ds_png[1], ds_fc[1]
+        for k in ("image", "mask_visib", "mask_full", "bbox", "proj_xy"):
+            np.testing.assert_array_equal(a[k], b[k])
+        # reopening from disk works too
+        fc2 = FrameCache(td)
+        assert fc2.get_frame(samples[0].rgb_path) is not None
