@@ -35,52 +35,86 @@ def main(csv_path: str, bop_path: str, dataset: str, split: str = "test",
         by_obj[r["obj_id"]].append(r)
 
     minfo = load_models_info(bop_path, dataset, eval_models=True)
+    # per-target inst_count (n_top) from the BOP19 targets file when present
+    targets_ntop = {}
+    try:
+        with open(f"{bop_path}/{dataset}/test_targets_bop19.json") as f:
+            for t in json.load(f):
+                targets_ntop[(t["scene_id"], t["im_id"], t["obj_id"])] = \
+                    int(t.get("inst_count", 0))
+    except FileNotFoundError:
+        pass
+
     per_obj = {}
     for obj_id, ests in sorted(by_obj.items()):
         gt_samples = scan_bop_object(bop_path, dataset, split, obj_id,
                                      visib_threshold=-1.0)
-        gt_map = {(s.scene_id, s.im_id): s for s in gt_samples}
+        # ALL GT instances per image (multi-instance scenes keep every one)
+        gt_by_im = defaultdict(list)
+        for s in gt_samples:
+            gt_by_im[(s.scene_id, s.im_id)].append(s)
         verts = load_ply_vertices(model_ply_path(bop_path, dataset, obj_id,
                                                  eval_models=True))
         if len(verts) > max_verts:
             verts = verts[np.random.default_rng(0).choice(len(verts), max_verts,
                                                           replace=False)]
         sym_R, sym_t = B.sym_arrays(minfo[obj_id])
+        diameter = float(minfo[obj_id]["diameter"])
 
+        # errors of every estimate against EVERY GT instance of the object
+        # in its image (official eval_calc_errors semantics)
+        pairs = []  # (est_idx_in_ests, gt_id)
         Re, te, Rg, tg, Ks = [], [], [], [], []
-        n_missing_gt = 0
-        matched_keys = set()
-        for r in ests:
-            gt = gt_map.get((r["scene_id"], r["im_id"]))
-            if gt is None:
-                n_missing_gt += 1
-                continue
-            matched_keys.add((r["scene_id"], r["im_id"]))
-            Re.append(r["R"]); te.append(r["t"])
-            Rg.append(gt.R); tg.append(gt.t); Ks.append(gt.cam_K)
-        if not Re:
+        for ei, r in enumerate(ests):
+            for gt_id, gt in enumerate(gt_by_im.get((r["scene_id"], r["im_id"]), [])):
+                pairs.append((ei, gt_id))
+                Re.append(r["R"]); te.append(r["t"])
+                Rg.append(gt.R); tg.append(gt.t); Ks.append(gt.cam_K)
+        if not pairs:
             continue
         errs = B.batched_bop_errors(
             jnp.asarray(np.stack(Re), jnp.float32), jnp.asarray(np.stack(te), jnp.float32),
             jnp.asarray(np.stack(Rg), jnp.float32), jnp.asarray(np.stack(tg), jnp.float32),
             jnp.asarray(np.stack(Ks), jnp.float32), jnp.asarray(verts, jnp.float32),
             jnp.asarray(sym_R), jnp.asarray(sym_t))
-        mssd_e = np.asarray(errs["mssd"], np.float64)
-        mspd_e = np.asarray(errs["mspd"], np.float64)
-        # GT instances with no estimate count as misses (inf error)
-        n_unmatched = len(gt_map) - len(matched_keys)
-        if n_unmatched > 0:
-            mssd_e = np.concatenate([mssd_e, np.full(n_unmatched, np.inf)])
-            mspd_e = np.concatenate([mspd_e, np.full(n_unmatched, np.inf)])
-        rec = B.bop19_average_recall(mssd_e, mspd_e,
-                                     float(minfo[obj_id]["diameter"]))
-        rec["n_estimates"] = len(ests)
-        rec["n_gt"] = len(gt_map)
-        per_obj[obj_id] = rec
+        mssd_e = np.asarray(errs["mssd"], np.float64) / diameter
+        mspd_e = np.asarray(errs["mspd"], np.float64)  # im_width 640 -> factor 1
+
+        # build official matching groups per (scene, im)
+        est_errors = defaultdict(dict)   # est_idx -> {gt_id: (mssd_n, mspd)}
+        for (ei, gt_id), em, ep in zip(pairs, mssd_e, mspd_e):
+            est_errors[ei][gt_id] = (em, ep)
+        groups_mssd, groups_mspd = [], []
+        ests_by_im = defaultdict(list)
+        for ei, r in enumerate(ests):
+            ests_by_im[(r["scene_id"], r["im_id"])].append(ei)
+        for key, gts in gt_by_im.items():
+            gt_valid = [s.visib_fract > 0.1 for s in gts]
+            n_top = targets_ntop.get((key[0], key[1], obj_id), 0)
+            e_idx = ests_by_im.get(key, [])
+            g_m = [{"score": ests[ei]["score"],
+                    "errors": {g: est_errors[ei][g][0] for g in est_errors[ei]}}
+                   for ei in e_idx]
+            g_p = [{"score": ests[ei]["score"],
+                    "errors": {g: est_errors[ei][g][1] for g in est_errors[ei]}}
+                   for ei in e_idx]
+            groups_mssd.append({"ests": g_m, "gt_valid": gt_valid, "n_top": n_top})
+            groups_mspd.append({"ests": g_p, "gt_valid": gt_valid, "n_top": n_top})
+
+        ar_mssd = B.official_average_recall(groups_mssd, B.MSSD_THRESHOLDS)
+        ar_mspd = B.official_average_recall(groups_mspd, B.MSPD_THRESHOLDS)
+        per_obj[obj_id] = {
+            "ar_mssd": ar_mssd, "ar_mspd": ar_mspd,
+            "ar": 0.5 * (ar_mssd + ar_mspd),
+            "n_estimates": len(ests),
+            "n_gt": sum(len(v) for v in gt_by_im.values()),
+        }
 
     overall = {k: float(np.mean([v[k] for v in per_obj.values()]))
                for k in ("ar_mssd", "ar_mspd", "ar")}
-    report = {"per_object": per_obj, "overall": overall}
+    report = {"per_object": per_obj, "overall": overall,
+              "note": "official BOP19 matching; VSD excluded (needs a depth "
+                      "renderer) -- AR here averages MSSD+MSPD only"}
     print(json.dumps(report, indent=2))
     return report
 

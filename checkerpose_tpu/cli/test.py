@@ -61,6 +61,16 @@ def main(cfg):
             batch["p3d_normed"] = np.broadcast_to(p3dn[None], (B,) + p3dn.shape).copy()
             yield batch
 
+    # CSV-export filter parity (reference test.py:113-119): poses exported
+    # to the BOP CSV are UNfiltered except for a hardcoded per-object list
+    # that uses the visib-mask filtering.
+    use_filter_visib = (
+        (cfg["dataset_name"] == "lmo"
+         and cfg["obj_name"] in ("can", "cat", "driller", "eggbox"))
+        or (cfg["dataset_name"] == "ycbv"
+            and cfg["obj_name"] in ("pudding_box", "foam_brick")))
+    main_filter = cfg.get("main_filter") or ("visib" if use_filter_visib else "none")
+
     report = evaluate_pipeline(
         net, knn, state.variables(), with_p3d(loader), xyz, diameter,
         stage=net.num_refine_steps, use_adi=cfg.get("is_symmetric", False),
@@ -69,7 +79,7 @@ def main(cfg):
         reproj_thresh=float(cfg.get("pnp_reproj_thresh", 2.0)),
         soft_inlier_sigma=(0.5 if cfg.get("use_progressivex", False) else 0.0),
         discard_bd_pixel=int(cfg.get("ignore_bit", 0)),
-        main_filter=cfg.get("main_filter", "visib"))
+        main_filter=main_filter)
 
     out_dir = cfg.get("eval_output_path", "eval_output")
     os.makedirs(out_dir, exist_ok=True)

@@ -58,12 +58,19 @@ def main(cfg):
         # swap in the multi-object p3d table so obj_idx rows match training
         loader.ds.p3d_table = {k: np.asarray(v, np.float64) for k, v in p3d_table.items()}
         loader.ds.obj_id_to_idx = {oid: i for i, oid in enumerate(sorted_ids)}
+        # symmetric objects report the closest-symmetric rotation error
+        # (reference test_lm.py:33-55 get_closest_rot)
+        sym_rots = None
+        if name in cfg["symmetric_names"]:
+            syms = M.symmetry_transformations(minfo[obj_id])
+            if syms:
+                sym_rots = np.stack([np.eye(3)] + [R for R, _ in syms])
         r = evaluate_pipeline(
             net, knn_stack, state.variables(), with_p3d(loader),
             p3d_table[obj_id], float(minfo[obj_id]["diameter"]),
             stage=net.num_refine_steps,
             use_adi=(name in cfg["symmetric_names"]),
-            main_filter=main_filter,
+            main_filter=main_filter, sym_rots=sym_rots,
             num_hyp=int(cfg.get("pnp_num_hyp", 128)),
             soft_inlier_sigma=(0.5 if cfg.get("use_progressivex", False) else 0.0))
         per_obj[name] = {k: v for k, v in r[main_filter].items()}

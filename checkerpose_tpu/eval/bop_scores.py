@@ -99,6 +99,57 @@ def bop19_average_recall(mssd_errs: np.ndarray, mspd_errs: np.ndarray,
             "ar": 0.5 * (ar_mssd + ar_mspd)}
 
 
+def match_poses_greedy(ests, error_th: float, max_ests: int, gt_valid):
+    """Official greedy estimate<->GT matching for ONE (scene, im, obj) group
+    (bop_toolkit_lib/pose_matching.py:match_poses).
+
+    ests: list of {"score": float, "errors": {gt_id: err}} sorted arbitrarily;
+    matched greedily in decreasing score, each estimate/GT used at most once,
+    only valid GTs, err < error_th. max_ests <= 0 means all.
+    Returns list of (est_index, gt_id) matches.
+    """
+    order = sorted(range(len(ests)), key=lambda i: ests[i]["score"], reverse=True)
+    if max_ests > 0:
+        order = order[:max_ests]
+    matched_gt = set()
+    matches = []
+    for i in order:
+        best_gt, best_err = -1, error_th
+        for gt_id, err in ests[i]["errors"].items():
+            if gt_id in matched_gt or not gt_valid[gt_id]:
+                continue
+            if err < best_err:
+                best_gt, best_err = gt_id, err
+        if best_gt >= 0:
+            matched_gt.add(best_gt)
+            matches.append((i, best_gt))
+    return matches
+
+
+def official_average_recall(groups, thresholds) -> float:
+    """BOP19 6D-localization AR with official matching semantics
+    (eval_calc_scores.py:261-275 + score.calc_localization_scores).
+
+    groups: one per (scene_id, im_id, obj_id):
+      {"ests": [{"score", "errors": {gt_id: normalized_err}}],
+       "gt_valid": [bool per GT instance of this object in this image],
+       "n_top": int}   # inst_count from the targets file; <=0 = all
+    Recall per threshold = matched valid GTs / total valid GT instances;
+    AR = mean over thresholds.
+    """
+    recalls = []
+    for th in thresholds:
+        tp, tars = 0, 0
+        for g in groups:
+            n_valid = int(np.sum(g["gt_valid"]))
+            n_top = g.get("n_top", 0)
+            tars += min(n_top, n_valid) if n_top > 0 else n_valid
+            tp += len(match_poses_greedy(g["ests"], float(th),
+                                         g.get("n_top", 0), g["gt_valid"]))
+        recalls.append(tp / max(tars, 1))
+    return float(np.mean(recalls))
+
+
 def sym_arrays(model_info: dict, max_sym_disc_step: float = 0.01,
                max_syms: int = 64) -> Tuple[np.ndarray, np.ndarray]:
     """(S,3,3), (S,3) symmetry arrays (identity first) from models_info,

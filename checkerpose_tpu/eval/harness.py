@@ -79,17 +79,24 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
                       reproj_thresh: float = 2.0, num_hyp: int = 128,
                       soft_inlier_sigma: float = 0.0, discard_bd_pixel: int = 0,
                       filter_modes=FILTER_MODES, main_filter: str = "visib",
-                      seed: int = 0) -> Dict:
+                      sym_rots=None, seed: int = 0) -> Dict:
     """Full eval sweep. Returns aggregate metrics + per-image poses for CSV.
 
     p3d_xyz: (N, 3) keypoints (mm) used for PnP; `vertices`: denser model
     vertices for ADD/ADI (defaults to p3d_xyz, the reference evaluates ADD on
     the keypoint cloud too via `metric.Calculate_ADD_Error_BOP`).
+    sym_rots: optional (K, 3, 3) discrete symmetries for closest-symmetric
+    rotation-error reporting (reference test_lm.py:33-55).
+
+    All requested filter modes share ONE forward and ONE stacked solver
+    dispatch per batch (the filters differ only in correspondence validity),
+    so adding modes costs solver *batch*, not extra launches.
     """
     fwd = steps.make_pose_forward(net, knn_idx, stage)
     res = 2 ** (3 + stage)
     verts = jnp.asarray(vertices if vertices is not None else p3d_xyz, jnp.float32)
     p3dj = jnp.asarray(p3d_xyz, jnp.float32)
+    sym_j = None if sym_rots is None else jnp.asarray(sym_rots, jnp.float32)
     key = jax.random.PRNGKey(seed)
 
     per_mode_errs = {m: [] for m in filter_modes}
@@ -107,8 +114,10 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
         R_gt = jnp.asarray(batch["R"])
         t_gt = jnp.asarray(batch["t"]).reshape(-1, 3)
         sample_valid = np.asarray(batch["valid"]) > 0.5
+        B = R_gt.shape[0]
+        nm = len(filter_modes)
 
-        mode_results = {}
+        p2d_all, valid_all = [], []
         for mode in filter_modes:
             seg = {"none": None, "full": out["seg_full"],
                    "visib": out["seg_visib"]}[mode]
@@ -116,17 +125,29 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
                 out["x_id"], out["y_id"], out["roi_mask"],
                 jnp.asarray(batch["bbox"]), crop_size_gt=res, seg_mask=seg,
                 check_seg=(mode != "none"), discard_bd_pixel=discard_bd_pixel)
-            sol = solve_poses_batched(
-                p3dj, p2d, valid, jnp.asarray(batch["cam_K"]), sub,
-                num_hyp=num_hyp, reproj_thresh=reproj_thresh,
-                soft_inlier_sigma=soft_inlier_sigma)
-            errs = M.batched_pose_errors(sol["R"], sol["t"], R_gt, t_gt, verts,
-                                         use_adi=use_adi)
+            p2d_all.append(p2d)
+            valid_all.append(valid)
+        camK = jnp.asarray(batch["cam_K"])
+        sol_all = solve_poses_batched(
+            p3dj, jnp.concatenate(p2d_all), jnp.concatenate(valid_all),
+            jnp.tile(camK, (nm, 1, 1)), sub,
+            num_hyp=num_hyp, reproj_thresh=reproj_thresh,
+            soft_inlier_sigma=soft_inlier_sigma)
+        errs_all = M.batched_pose_errors(
+            sol_all["R"], sol_all["t"], jnp.tile(R_gt, (nm, 1, 1)),
+            jnp.tile(t_gt, (nm, 1)), verts, use_adi=use_adi, sym_rots=sym_j)
+
+        mode_results = {}
+        for mi, mode in enumerate(filter_modes):
+            sl = slice(mi * B, (mi + 1) * B)
+            sol = {k: v[sl] for k, v in sol_all.items()}
             ok = np.asarray(sol["success"]) & sample_valid
-            adx = np.where(ok, np.asarray(errs["adx"]), np.inf)
+            adx = np.where(ok, np.asarray(errs_all["adx"][sl]), np.inf)
             per_mode_errs[mode].append(adx[:n_real])
-            per_mode_re[mode].append(np.where(ok, np.asarray(errs["re"]), 180.0)[:n_real])
-            per_mode_te[mode].append(np.where(ok, np.asarray(errs["te"]), np.inf)[:n_real])
+            per_mode_re[mode].append(
+                np.where(ok, np.asarray(errs_all["re"][sl]), 180.0)[:n_real])
+            per_mode_te[mode].append(
+                np.where(ok, np.asarray(errs_all["te"][sl]), np.inf)[:n_real])
             mode_results[mode] = sol
 
         if "proj_xy" in batch:

@@ -143,14 +143,24 @@ def mask_metrics(pred: np.ndarray, gt: np.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("use_adi",))
-def batched_pose_errors(R_est, t_est, R_gt, t_gt, pts, use_adi: bool = False):
-    """(B,) ADD or ADI + re + te for a batch of poses against shared pts."""
+def batched_pose_errors(R_est, t_est, R_gt, t_gt, pts, use_adi: bool = False,
+                        sym_rots=None):
+    """(B,) ADD or ADI + re + te for a batch of poses against shared pts.
+
+    sym_rots: optional (K, 3, 3) discrete symmetry rotations (include the
+    identity); the rotation error is then reported against the closest
+    symmetric GT, the reference's `get_closest_rot` (test_lm.py:33-55)."""
     if use_adi:
         adx = jax.vmap(lambda a, b, c, d: adi_error(a, b, c, d, pts))(
             R_est, t_est, R_gt, t_gt)
     else:
         adx = jax.vmap(lambda a, b, c, d: add_error(a, b, c, d, pts))(
             R_est, t_est, R_gt, t_gt)
-    re = jax.vmap(re_error)(R_est, R_gt)
+    if sym_rots is None:
+        re = jax.vmap(re_error)(R_est, R_gt)
+    else:
+        def one(Re, Rg):
+            return jnp.min(jax.vmap(lambda S: re_error(Re, Rg @ S))(sym_rots))
+        re = jax.vmap(one)(R_est, R_gt)
     te = jax.vmap(te_error)(t_est, t_gt)
     return {"adx": adx, "re": re, "te": te}

@@ -116,3 +116,42 @@ def test_csv_writer(tmp_path):
     merged = merge_csv([p, p2], str(tmp_path / "merged.csv"))
     lines = open(merged).read().strip().split("\n")
     assert len(lines) == 4 and lines[0].startswith("scene_id")
+
+
+# ---------------------------------------------------------------------------
+# official BOP19 matching (pose_matching.py semantics), round-2 item 6
+# ---------------------------------------------------------------------------
+
+def test_official_matching_two_instance_scene():
+    from checkerpose_tpu.eval.bop_scores import (match_poses_greedy,
+                                                 official_average_recall)
+    # two GT instances; three estimates. est0 (score .9) fits gt1 well,
+    # est1 (score .8) fits gt1 even better but must take gt0 because the
+    # higher-scored est0 claimed gt1 first; est2 is junk.
+    ests = [
+        {"score": 0.9, "errors": {0: 0.30, 1: 0.02}},
+        {"score": 0.8, "errors": {0: 0.04, 1: 0.01}},
+        {"score": 0.1, "errors": {0: 0.50, 1: 0.60}},
+    ]
+    m = match_poses_greedy(ests, error_th=0.1, max_ests=0, gt_valid=[True, True])
+    assert sorted(m) == [(0, 1), (1, 0)]
+
+    # n_top=1: only the single highest-scored estimate may match
+    m1 = match_poses_greedy(ests, error_th=0.1, max_ests=1, gt_valid=[True, True])
+    assert m1 == [(0, 1)]
+
+    # invalid GT cannot be matched
+    m2 = match_poses_greedy(ests, error_th=0.1, max_ests=0, gt_valid=[False, True])
+    assert m2 == [(0, 1)]
+
+    # recall over thresholds: one group, 2 valid targets
+    groups = [{"ests": ests, "gt_valid": [True, True], "n_top": 0}]
+    ar = official_average_recall(groups, [0.1])
+    assert ar == 1.0
+    ar_strict = official_average_recall(groups, [0.03])
+    # at 0.03 only est0->gt1 (0.02) and est1->gt1 blocked, est1->gt0=0.04 fails
+    assert ar_strict == 0.5
+    # plain per-estimate recall would have counted est1's 0.01 on gt1 twice;
+    # official matching must not
+    ar_both = official_average_recall(groups, [0.1, 0.03])
+    assert abs(ar_both - 0.75) < 1e-9

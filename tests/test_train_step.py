@@ -124,3 +124,42 @@ def test_pose_forward(setup):
     assert out["x_id"].shape == (2, NPT)
     assert out["seg_visib"].shape == (2, 64, 64)
     assert 0.0 <= float(out["seg_visib"].min()) and float(out["seg_visib"].max()) <= 1.0
+
+
+def test_evaluate_pipeline_stacked_modes(setup):
+    """All three filter modes through ONE stacked solver dispatch (round-2
+    rework of VERDICT weak #7), plus symmetric-closest rotation error."""
+    p3d, knn = setup
+    net = PoseNet(npoint=NPT, res_log2=6, backbone_name="resnet34",
+                  num_graph_module=1, init_num_graph_module=1, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    state = create_pose_state(net, knn, CROP, opt, NPT)
+    rng = np.random.default_rng(5)
+    batch = _fake_batch(rng)
+    from checkerpose_tpu.ops.geometry import pc_normalize
+    batch["p3d_normed"] = np.tile(pc_normalize(p3d)[None], (2, 1, 1)).astype(np.float32)
+    batch["R"] = np.tile(np.eye(3, dtype=np.float32)[None], (2, 1, 1))
+    batch["t"] = np.tile(np.array([0, 0, 400], np.float32)[None], (2, 1))
+    batch["cam_K"] = np.tile(np.array([[572.4, 0, 325], [0, 573.5, 242],
+                                       [0, 0, 1]], np.float32)[None], (2, 1, 1))
+    batch["valid"] = np.ones(2, np.float32)
+    batch["scene_id"] = np.zeros(2, np.int32)
+    batch["im_id"] = np.arange(2, dtype=np.int32)
+
+    from checkerpose_tpu.eval.harness import evaluate_pipeline
+    sym = np.stack([np.eye(3), np.diag([-1.0, -1.0, 1.0])]).astype(np.float32)
+    report = evaluate_pipeline(
+        net, knn, state.variables(), iter([dict(batch)]), p3d, 60.0,
+        stage=3, use_adi=False, num_hyp=16, sym_rots=sym,
+        filter_modes=("none", "full", "visib"), main_filter="none")
+    for mode in ("none", "full", "visib"):
+        assert {"adx02", "adx05", "adx10", "mean_re_deg"} <= set(report[mode])
+        assert 0.0 <= report[mode]["adx10"] <= 1.0
+    assert len(report["poses"]) == 2
+    assert report["test_acc"] == report["none"]["adx10"]
+    # sym-closest re can never exceed plain re
+    plain = evaluate_pipeline(
+        net, knn, state.variables(), iter([dict(batch)]), p3d, 60.0,
+        stage=3, use_adi=False, num_hyp=16, sym_rots=None,
+        filter_modes=("none",), main_filter="none")
+    assert report["none"]["mean_re_deg"] <= plain["none"]["mean_re_deg"] + 1e-4
