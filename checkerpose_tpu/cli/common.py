@@ -204,9 +204,23 @@ def build_train_loaders_lm(cfg: Dict, p3d_table: Dict, seed: int = 0):
                                        folder, obj_id, vt))
         return out
 
+    def gather_imgn():
+        """lm_imgn synthetic renders as the second dataset (reference LM
+        recipe: real + imgn mixed per step, get_lm_datasets.py:175-228)."""
+        from checkerpose_tpu.data.lm_imgn import scan_lm_imgn
+        id_to_name = {oid: n for n, oid in zip(cfg["obj_names"], cfg["obj_ids"])}
+        n_per = int(cfg.get("imgn_n_per_obj", 1000))
+        out = []
+        for obj_id in sorted(cfg["obj_ids"]):
+            out.extend(scan_lm_imgn(cfg["lm_imgn_root"], id_to_name[obj_id],
+                                    obj_id, n_per_obj=n_per))
+        return out
+
     s1 = gather(cfg["training_data_folder"])
     folder2 = cfg.get("training_data_folder_2", "none")
-    if folder2 and folder2 != "none":
+    if folder2 == "lm_imgn" and cfg.get("lm_imgn_root"):
+        s2 = gather_imgn()
+    elif folder2 and folder2 != "none":
         s2 = gather(folder2)
         b1, b2 = mixed_batch_sizes(batch, float(cfg.get("second_dataset_ratio", 0.75)))
         l1 = Loader(CropDataset(s1, p3d_table, is_train=True, seed=seed,

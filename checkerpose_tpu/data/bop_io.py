@@ -40,6 +40,11 @@ class Sample:
     visib_fract: float
     detect_bbox: Optional[np.ndarray] = None  # filled by attach_detections
     detect_score: float = -1.0
+    # lm_imgn synthetic renders: masks derive from depth>0 at load time
+    # (reference lm_dataset_pytorch.py:368-371); "syn" images get
+    # unconditional background replacement during training (:380-381)
+    depth_path: Optional[str] = None
+    img_type: str = "real"
 
 
 def _load_json(path: str):

@@ -32,11 +32,16 @@ K_DEFAULT = np.array([[572.4114, 0.0, 325.2611],
 IM_W, IM_H = 640, 480
 
 
-def _make_object(rng, radius=40.0, n=64):
-    """Noisy convex blob: points on a sphere with radial jitter."""
+def _make_object(rng, radius=40.0, n=64, lumpiness=0.25):
+    """Noisy convex blob: points on a sphere with radial jitter. Higher
+    `lumpiness` gives a less spherical silhouette (stronger shape cues for
+    orientation; a near-sphere is only orientable by its texture)."""
     v = rng.standard_normal((n, 3))
     v /= np.linalg.norm(v, axis=1, keepdims=True)
-    r = radius * (1.0 + 0.25 * rng.random(n))
+    # low-frequency radial field (smooth lumps) + per-vertex jitter
+    basis = rng.standard_normal((3, 3))
+    field = np.tanh(v @ basis).sum(axis=1) / 3.0
+    r = radius * (1.0 + lumpiness * field + 0.15 * rng.random(n))
     return v * r[:, None]
 
 
@@ -48,12 +53,24 @@ def _random_rotation(rng):
     return Q
 
 
-def _vertex_colors(n, rng):
+def _vertex_colors(n, rng, verts=None):
     """Distinct, stable per-vertex colors (orientation-dependent appearance:
     the pose is readable from WHICH colors are where, making keypoint
     localization learnable -- flat shading alone leaves the orientation
-    unobservable and code training stuck at chance)."""
-    return rng.integers(40, 255, (n, 3))
+    unobservable and code training stuck at chance).
+
+    The identity signal lives mostly in LUMINANCE (all channels share a
+    random gray level) with a smaller coordinate-keyed tint: the reference
+    augmentation chain multiplies/inverts channels independently
+    (ops/augment.py), which scrambles pure color-identity textures but
+    preserves relative luminance patterns."""
+    gray = rng.integers(30, 256, (n, 1))
+    c = np.repeat(gray, 3, axis=1).astype(np.int64)
+    if verts is not None:
+        lo, hi = verts.min(0), verts.max(0)
+        tint = 60.0 * (verts - lo) / (hi - lo + 1e-9) - 30.0
+        c = c + tint.astype(np.int64)
+    return np.clip(c, 0, 255)
 
 
 def _render(verts, R, t, K, rng, vert_colors):
@@ -148,7 +165,8 @@ def make_synthetic_bop(root: str, dataset: str = "synth", n_objects: int = 2,
                    "fx": K_DEFAULT[0, 0], "fy": K_DEFAULT[1, 1],
                    "width": IM_W, "height": IM_H, "depth_scale": 1.0}, f)
 
-    vert_colors = {obj_id: _vertex_colors(len(objects[obj_id]), rng)
+    vert_colors = {obj_id: _vertex_colors(len(objects[obj_id]), rng,
+                                          verts=objects[obj_id])
                    for obj_id in objects}
     detections = {}
     targets = []

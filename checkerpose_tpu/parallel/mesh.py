@@ -72,15 +72,18 @@ def shard_manifest(samples, process_index: Optional[int] = None,
 
 
 def make_global_batch(batch: dict, mesh: Mesh) -> dict:
-    """Assemble a globally-sharded batch from per-process local data
-    (jax.make_array_from_process_local_data). On a single process this is
-    equivalent to shard_batch."""
+    """Assemble a globally-sharded batch from per-process local data.
+
+    Always goes through jax.make_array_from_process_local_data so the
+    single-process path exercises the exact multi-host code (on one process
+    the local data IS the global batch; scalars are replicated)."""
     import jax
-    if jax.process_count() == 1:
-        return shard_batch(batch, mesh)
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
-        sh = replicated(mesh) if v.ndim == 0 else data_sharding(mesh, v.ndim)
-        out[k] = jax.make_array_from_process_local_data(sh, v)
+        if v.ndim == 0:
+            out[k] = jax.device_put(v, replicated(mesh))
+        else:
+            out[k] = jax.make_array_from_process_local_data(
+                data_sharding(mesh, v.ndim), v)
     return out

@@ -145,7 +145,7 @@ def test_loader_propagates_worker_exception(synth_root):
         def __getitem__(self, i):
             raise RuntimeError("decode thread crashed")
 
-    ds = Boom(samples, xyz, is_train=True)
+    ds = Boom(samples, xyz, is_train=True, use_native=False)
     loader = Loader(ds, batch_size=2, shuffle=False, infinite=False)
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="decode thread crashed"):
@@ -161,7 +161,7 @@ def test_frame_cache_roundtrip(synth_root):
     xyz, _ = load_keypoints_normed(synth_root, "synth", 1, 64)
     with tempfile.TemporaryDirectory() as td:
         fc = build_frame_cache(samples, td)
-        ds_png = CropDataset(samples, xyz, is_train=False)
+        ds_png = CropDataset(samples, xyz, is_train=False, use_native=False)
         ds_fc = CropDataset(samples, xyz, is_train=False, frame_cache=fc)
         a, b = ds_png[1], ds_fc[1]
         for k in ("image", "mask_visib", "mask_full", "bbox", "proj_xy"):
