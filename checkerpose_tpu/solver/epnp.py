@@ -48,6 +48,20 @@ def rodrigues(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.eye(3) + s * K + (1. - c) * (K @ K)
 
 
+@_full_precision
+def _inv3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate / det)."""
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 0], A[1, 1], A[1, 2]
+    g, h, i = A[2, 0], A[2, 1], A[2, 2]
+    A11, A12, A13 = e * i - f * h, c * h - b * i, b * f - c * e
+    A21, A22, A23 = f * g - d * i, a * i - c * g, c * d - a * f
+    A31, A32, A33 = d * h - e * g, b * g - a * h, a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    adj = jnp.array([[A11, A12, A13], [A21, A22, A23], [A31, A32, A33]])
+    return adj / (det + jnp.sign(det + _EPS) * _EPS)
+
+
 def _normalize_2d(p2d: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
@@ -70,29 +84,60 @@ def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
     ])
 
 
+def _horn_matrix(S: jnp.ndarray) -> jnp.ndarray:
+    """Horn's symmetric 4x4 from a 3x3 cross-covariance S."""
+    Sxx, Sxy, Sxz = S[0, 0], S[0, 1], S[0, 2]
+    Syx, Syy, Syz = S[1, 0], S[1, 1], S[1, 2]
+    Szx, Szy, Szz = S[2, 0], S[2, 1], S[2, 2]
+    return jnp.array([
+        [Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx],
+        [Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz],
+        [Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy],
+        [Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz],
+    ])
+
+
 @_full_precision
-def _weighted_kabsch(X: jnp.ndarray, Y: jnp.ndarray, w: jnp.ndarray):
+def _dominant_quat(N: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
+    """Dominant eigenvector of Horn's symmetric 4x4 by shifted power
+    iteration: N + s*I is PSD-dominant for s >= |lambda_min|, and
+    ||N||_F bounds every |lambda|. 4x4 matvecs are ~free on TPU next to a
+    batched eigh (which XLA lowers to an iterative Jacobi loop)."""
+    s = jnp.sqrt(jnp.sum(N * N)) + _EPS
+    M = N + s * jnp.eye(4)
+    v = jnp.full((4,), 0.5)
+
+    def body(v, _):
+        v = M @ v
+        return v / (jnp.linalg.norm(v) + _EPS), None
+
+    v, _ = jax.lax.scan(body, v, None, length=iters)
+    return v
+
+
+@_full_precision
+def _weighted_kabsch(X: jnp.ndarray, Y: jnp.ndarray, w: jnp.ndarray,
+                     use_eigh: bool = True):
     """Rigid transform Y ~ R X + t minimizing weighted residuals.
 
     Horn's closed-form quaternion method: largest eigenvector of the 4x4
-    symmetric matrix built from the cross-covariance.
+    symmetric matrix built from the cross-covariance. use_eigh=False swaps
+    the eigh for shifted power iteration (hypothesis fast path: thousands of
+    these run per RANSAC batch and the dominant gap is large for any
+    non-degenerate rigid fit).
     """
     wsum = jnp.sum(w) + _EPS
     cx = jnp.sum(X * w[:, None], axis=0) / wsum
     cy = jnp.sum(Y * w[:, None], axis=0) / wsum
     Xc, Yc = X - cx, Y - cy
     S = (Xc * w[:, None]).T @ Yc                       # S[a,b] = sum x_a y_b
-    Sxx, Sxy, Sxz = S[0, 0], S[0, 1], S[0, 2]
-    Syx, Syy, Syz = S[1, 0], S[1, 1], S[1, 2]
-    Szx, Szy, Szz = S[2, 0], S[2, 1], S[2, 2]
-    N = jnp.array([
-        [Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx],
-        [Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz],
-        [Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy],
-        [Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz],
-    ])
-    evals, evecs = jnp.linalg.eigh(N)
-    R = quat_to_rot(evecs[:, -1])                      # largest eigenvalue
+    N = _horn_matrix(S)
+    if use_eigh:
+        evals, evecs = jnp.linalg.eigh(N)
+        q = evecs[:, -1]                               # largest eigenvalue
+    else:
+        q = _dominant_quat(N)
+    R = quat_to_rot(q)
     t = cy - R @ cx
     return R, t
 
@@ -134,9 +179,10 @@ def epnp(p3d: jnp.ndarray, p2d: jnp.ndarray, K: jnp.ndarray, w: jnp.ndarray,
         axes = jnp.eye(3) * s
     ctrl_w = jnp.concatenate([c0[None], c0[None] + axes], axis=0)  # (4,3)
 
-    # --- barycentric coordinates ---
-    A = (ctrl_w[1:] - ctrl_w[0]).T                         # (3,3)
-    a123 = jnp.linalg.solve(A + jnp.eye(3) * 1e-9, Xc.T).T  # (N,3)
+    # --- barycentric coordinates (closed-form 3x3 inverse: adjugate/det is
+    # far cheaper on TPU than a pivoted LU solve) ---
+    A = (ctrl_w[1:] - ctrl_w[0]).T + jnp.eye(3) * 1e-9     # (3,3)
+    a123 = Xc @ _inv3(A).T                                 # (N,3)
     alphas = jnp.concatenate([1.0 - jnp.sum(a123, axis=1, keepdims=True), a123], axis=1)  # (N,4)
 
     # --- M^T M (12x12) built directly (avoids materializing 2N x 12) ---
@@ -156,19 +202,21 @@ def epnp(p3d: jnp.ndarray, p2d: jnp.ndarray, K: jnp.ndarray, w: jnp.ndarray,
     # --- null-space: smallest eigenvector ---
     # inverse iteration converges in 1-2 steps here: the null eigenvalue is
     # ~0 vs O(1) for the rest, so each solve amplifies the null component by
-    # ~1e6. With use_eigh the start vector comes from eigh (belt+braces for
-    # the final polish); otherwise a fixed start avoids eigh entirely.
+    # ~1e6. MtM is SPD after regularization, so the factorization is a
+    # Cholesky -- no pivoting, far cheaper on TPU than LU. With use_eigh the
+    # start vector comes from eigh (belt+braces for the final polish);
+    # otherwise a fixed start avoids eigh entirely.
     A_reg = MtM + 1e-6 * jnp.eye(12)
-    lu, piv = jax.scipy.linalg.lu_factor(A_reg)
+    cf = jax.scipy.linalg.cho_factor(A_reg)
     if use_eigh:
         _, V = jnp.linalg.eigh(MtM)
-        v1 = jax.scipy.linalg.lu_solve((lu, piv), V[:, 0])
+        v1 = jax.scipy.linalg.cho_solve(cf, V[:, 0])
     else:
         v1 = jnp.ones(12) / jnp.sqrt(12.0)
         for _ in range(2):
-            v1 = jax.scipy.linalg.lu_solve((lu, piv), v1)
+            v1 = jax.scipy.linalg.cho_solve(cf, v1)
             v1 = v1 / (jnp.linalg.norm(v1) + _EPS)
-        v1 = jax.scipy.linalg.lu_solve((lu, piv), v1)
+        v1 = jax.scipy.linalg.cho_solve(cf, v1)
     v1 = v1 / (jnp.linalg.norm(v1) + _EPS)
     v = v1.reshape(4, 3)                                   # candidate ctrl_c up to scale
 
@@ -185,7 +233,7 @@ def epnp(p3d: jnp.ndarray, p2d: jnp.ndarray, K: jnp.ndarray, w: jnp.ndarray,
     zmean = jnp.sum(pc[:, 2] * w) / wsum
     pc = pc * jnp.sign(zmean + _EPS)
 
-    R, t = _weighted_kabsch(p3d, pc, w)
+    R, t = _weighted_kabsch(p3d, pc, w, use_eigh=use_eigh)
     return R, t
 
 
@@ -245,7 +293,8 @@ def refine_pose_gn(R, t, p3d, p2d, K, w, iters: int = 8, damping: float = 1e-5):
         # selection below guards against overshoot instead
         H = H + damping * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
         g = jnp.einsum("nij,ni->j", Jw, r)
-        delta = -jnp.linalg.solve(H, g)
+        # H is SPD (damped Gauss-Newton normal matrix): Cholesky, not LU
+        delta = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H), g)
 
         # monotone step: try delta, delta/2, delta/4, and no-step; keep best
         def cost(Rc, tc):
