@@ -23,6 +23,64 @@ from checkerpose_tpu.data.ply import load_ply_vertices
 from checkerpose_tpu.eval import bop_scores as B
 
 
+def _try_vsd(ests, gt_by_im, targets_ntop, obj_id, bop_path, dataset,
+             minfo):
+    """AR_VSD with official matching when test depth images + mesh faces are
+    available; returns None otherwise. AR averages recall over the (tau, th)
+    grid (taus 0.05..0.5 * diameter, th 0.05..0.5), delta=15mm (bop19)."""
+    import cv2
+    from checkerpose_tpu.data.ply import load_ply_mesh
+    try:
+        verts, faces = load_ply_mesh(model_ply_path(bop_path, dataset, obj_id,
+                                                    eval_models=True))
+    except Exception:
+        return None
+    if len(faces) == 0:
+        return None
+    diameter = float(minfo[obj_id]["diameter"])
+
+    # per-pair per-tau errors, grouped per image
+    depth_cache = {}
+    groups_by_tau = None
+    ests_by_im = defaultdict(list)
+    for ei, r in enumerate(ests):
+        ests_by_im[(r["scene_id"], r["im_id"])].append(ei)
+    pair_errs = {}  # (ei, gt_id) -> list per tau
+    for key, gts in gt_by_im.items():
+        for ei in ests_by_im.get(key, []):
+            r = ests[ei]
+            gt0 = gts[0]
+            if key not in depth_cache:
+                dp = gt0.rgb_path.replace("/rgb/", "/depth/")
+                dp = dp[:dp.rfind(".")] + ".png"
+                raw = cv2.imread(dp, cv2.IMREAD_UNCHANGED)
+                depth_cache[key] = (None if raw is None
+                                    else raw.astype(np.float32) * gt0.depth_scale)
+            depth = depth_cache[key]
+            if depth is None:
+                return None  # no depth for this split -> VSD unavailable
+            for gt_id, gt in enumerate(gts):
+                pair_errs[(ei, gt_id)] = B.vsd_error(
+                    r["R"], r["t"], gt.R, gt.t, depth, gt.cam_K, verts, faces,
+                    diameter)
+
+    taus = B.VSD_TAUS
+    recalls = []
+    for ti in range(len(taus)):
+        groups = []
+        for key, gts in gt_by_im.items():
+            g_e = [{"score": ests[ei]["score"],
+                    "errors": {g: pair_errs[(ei, g)][ti]
+                               for g in range(len(gts))
+                               if (ei, g) in pair_errs}}
+                   for ei in ests_by_im.get(key, [])]
+            groups.append({"ests": g_e,
+                           "gt_valid": [s.visib_fract > 0.1 for s in gts],
+                           "n_top": targets_ntop.get((key[0], key[1], obj_id), 0)})
+        recalls.append(B.official_average_recall(groups, np.arange(0.05, 0.51, 0.05)))
+    return float(np.mean(recalls))
+
+
 def main(csv_path: str, bop_path: str, dataset: str, split: str = "test",
          max_verts: int = 4096):
     problems = B.check_bop_results_csv(csv_path)
@@ -103,18 +161,28 @@ def main(csv_path: str, bop_path: str, dataset: str, split: str = "test",
 
         ar_mssd = B.official_average_recall(groups_mssd, B.MSSD_THRESHOLDS)
         ar_mspd = B.official_average_recall(groups_mspd, B.MSPD_THRESHOLDS)
-        per_obj[obj_id] = {
+        ar_vsd = _try_vsd(ests, gt_by_im, targets_ntop, obj_id, bop_path,
+                          dataset, minfo)
+        rec = {
             "ar_mssd": ar_mssd, "ar_mspd": ar_mspd,
-            "ar": 0.5 * (ar_mssd + ar_mspd),
             "n_estimates": len(ests),
             "n_gt": sum(len(v) for v in gt_by_im.values()),
         }
+        if ar_vsd is not None:
+            rec["ar_vsd"] = ar_vsd
+            rec["ar"] = (ar_vsd + ar_mssd + ar_mspd) / 3.0
+        else:
+            rec["ar"] = 0.5 * (ar_mssd + ar_mspd)
+        per_obj[obj_id] = rec
 
+    have_vsd = all("ar_vsd" in v for v in per_obj.values()) and per_obj
+    keys = ("ar_mssd", "ar_mspd", "ar") + (("ar_vsd",) if have_vsd else ())
     overall = {k: float(np.mean([v[k] for v in per_obj.values()]))
-               for k in ("ar_mssd", "ar_mspd", "ar")}
-    report = {"per_object": per_obj, "overall": overall,
-              "note": "official BOP19 matching; VSD excluded (needs a depth "
-                      "renderer) -- AR here averages MSSD+MSPD only"}
+               for k in keys}
+    note = ("official BOP19 matching; AR = mean(VSD, MSSD, MSPD)" if have_vsd
+            else "official BOP19 matching; VSD skipped (no test depth images "
+                 "or mesh faces on disk) -- AR averages MSSD+MSPD only")
+    report = {"per_object": per_obj, "overall": overall, "note": note}
     print(json.dumps(report, indent=2))
     return report
 

@@ -45,6 +45,7 @@ class Sample:
     # unconditional background replacement during training (:380-381)
     depth_path: Optional[str] = None
     img_type: str = "real"
+    depth_scale: float = 1.0  # scene_camera depth_scale (raw depth -> mm)
 
 
 def _load_json(path: str):
@@ -96,6 +97,7 @@ def scan_bop_object(bop_dir: str, dataset: str, data_folder: str, obj_id: int,
                     bbox_visib=np.array(info["bbox_visib"], np.float64),
                     bbox_obj=np.array(info.get("bbox_obj", info["bbox_visib"]), np.float64),
                     visib_fract=float(info.get("visib_fract", 1.0)),
+                    depth_scale=float(cam.get("depth_scale", 1.0)),
                 ))
     return samples
 

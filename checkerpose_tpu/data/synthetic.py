@@ -130,16 +130,25 @@ def make_synthetic_bop(root: str, dataset: str = "synth", n_objects: int = 2,
         writer = FrameCacheWriter(os.path.join(ds_dir, "frame_cache"),
                                   (IM_H, IM_W), total, total)
 
-    # objects + models_info + fps keypoints
+    # objects + models_info + fps keypoints (meshes get convex-hull faces so
+    # the depth renderer / VSD can consume them)
     models_info = {}
     objects = {}
+    faces = {}
     fps_dir = os.path.join(ds_dir, "fps_202212")
     os.makedirs(fps_dir, exist_ok=True)
     from checkerpose_tpu.ops.geometry import farthest_point_sample
+    try:
+        from scipy.spatial import ConvexHull
+    except Exception:  # pragma: no cover
+        ConvexHull = None
     for obj_id in range(1, n_objects + 1):
         verts = _make_object(rng, n=n_vertices)
         objects[obj_id] = verts
-        save_ply_vertices(os.path.join(models_dir, f"obj_{obj_id:06d}.ply"), verts)
+        faces[obj_id] = (ConvexHull(verts).simplices.astype(np.int32)
+                         if ConvexHull is not None else None)
+        save_ply_vertices(os.path.join(models_dir, f"obj_{obj_id:06d}.ply"),
+                          verts, faces[obj_id])
         d = np.linalg.norm(verts[:, None] - verts[None], axis=-1).max()
         models_info[str(obj_id)] = {
             "diameter": float(d),
@@ -157,7 +166,8 @@ def make_synthetic_bop(root: str, dataset: str = "synth", n_objects: int = 2,
     eval_dir = os.path.join(ds_dir, "models_eval")
     os.makedirs(eval_dir, exist_ok=True)
     for obj_id in range(1, n_objects + 1):
-        save_ply_vertices(os.path.join(eval_dir, f"obj_{obj_id:06d}.ply"), objects[obj_id])
+        save_ply_vertices(os.path.join(eval_dir, f"obj_{obj_id:06d}.ply"),
+                          objects[obj_id], faces[obj_id])
     with open(os.path.join(eval_dir, "models_info.json"), "w") as f:
         json.dump(models_info, f)
     with open(os.path.join(ds_dir, "camera.json"), "w") as f:
@@ -215,6 +225,15 @@ def make_synthetic_bop(root: str, dataset: str = "synth", n_objects: int = 2,
                     "visib_fract": 1.0,
                 }]
                 if folder == "test":
+                    # mesh-rendered depth image (VSD scoring needs scene depth)
+                    if faces[obj_id] is not None:
+                        from checkerpose_tpu.eval.renderer import render_depth
+                        os.makedirs(os.path.join(scene_dir, "depth"), exist_ok=True)
+                        dep = render_depth(verts, faces[obj_id], R, t, K_DEFAULT,
+                                           IM_W, IM_H)
+                        cv2.imwrite(os.path.join(scene_dir, "depth",
+                                                 f"{im_id:06d}.png"),
+                                    np.clip(dep, 0, 65535).astype(np.uint16))
                     # jittered detector boxes, one slightly-worse duplicate
                     jit = rng.integers(-6, 7, 4)
                     det_bbox = [int(bbox[0] + jit[0]), int(bbox[1] + jit[1]),

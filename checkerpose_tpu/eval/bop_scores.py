@@ -99,6 +99,72 @@ def bop19_average_recall(mssd_errs: np.ndarray, mspd_errs: np.ndarray,
             "ar": 0.5 * (ar_mssd + ar_mspd)}
 
 
+VSD_TAUS = np.arange(0.05, 0.51, 0.05)                   # * diameter (bop19)
+VSD_DELTA = 15.0                                         # mm (bop19)
+
+
+def depth_to_dist(depth: np.ndarray, K: np.ndarray) -> np.ndarray:
+    """Depth (z) image -> euclidean distance image
+    (misc.depth_im_to_dist_im_fast semantics)."""
+    h, w = depth.shape
+    us = (np.arange(w) - K[0, 2]) / K[0, 0]
+    vs = (np.arange(h) - K[1, 2]) / K[1, 1]
+    scale = np.sqrt(us[None, :] ** 2 + vs[:, None] ** 2 + 1.0)
+    return depth.astype(np.float32) * scale.astype(np.float32)
+
+
+def _visib_mask(d_test, d_model, delta):
+    """bop19 visibility: visible where the model is in front of (or within
+    delta of) the scene, or where the scene has no depth
+    (bop_toolkit_lib/visibility.py:35-38)."""
+    d_diff = d_model - d_test
+    return np.logical_and(np.logical_or(d_diff <= delta, d_test == 0),
+                          d_model > 0)
+
+
+def vsd_error(R_est, t_est, R_gt, t_gt, depth_test, K, verts, faces,
+              diameter: float, delta: float = VSD_DELTA, taus=VSD_TAUS,
+              cost_type: str = "step",
+              normalized_by_diameter: bool = True):
+    """Visible Surface Discrepancy (Hodan et al., ECCV'18), the exact
+    `pose_error.vsd` recipe backed by eval/renderer.py instead of the C++
+    bop_renderer. Returns one error per tau.
+    """
+    from checkerpose_tpu.eval.renderer import render_depth
+    h, w = depth_test.shape
+    d_est = render_depth(verts, faces, R_est, t_est, K, w, h)
+    d_gt = render_depth(verts, faces, R_gt, t_gt, K, w, h)
+    dist_test = depth_to_dist(depth_test, K)
+    dist_est = depth_to_dist(d_est, K)
+    dist_gt = depth_to_dist(d_gt, K)
+
+    visib_gt = _visib_mask(dist_test, dist_gt, delta)
+    visib_est = _visib_mask(dist_test, dist_est, delta)
+    # est pose is additionally "visible" wherever the GT pose is
+    # (visibility.py:estimate_visib_mask_est)
+    visib_est = np.logical_or(visib_est, np.logical_and(visib_gt, d_est > 0))
+
+    inter = np.logical_and(visib_gt, visib_est)
+    union = np.logical_or(visib_gt, visib_est)
+    union_count = int(union.sum())
+    comp_count = union_count - int(inter.sum())
+    if union_count == 0:
+        return [1.0] * len(list(taus))
+    dists = np.abs(dist_gt[inter] - dist_est[inter])
+    if normalized_by_diameter:
+        dists = dists / diameter
+    errors = []
+    for tau in taus:
+        if cost_type == "step":
+            costs = (dists >= tau).sum()
+        elif cost_type == "tlinear":
+            costs = np.clip(dists / tau, None, 1.0).sum()
+        else:
+            raise ValueError(cost_type)
+        errors.append(float((costs + comp_count) / union_count))
+    return errors
+
+
 def match_poses_greedy(ests, error_th: float, max_ests: int, gt_valid):
     """Official greedy estimate<->GT matching for ONE (scene, im, obj) group
     (bop_toolkit_lib/pose_matching.py:match_poses).
