@@ -1,0 +1,52 @@
+#!/bin/bash
+# Round-2 accuracy-proof driver: segmented pretrain -> train -> test on the
+# synthetic BOP dataset. Segments restart the process every SEG steps because
+# the tunneled-TPU client degrades ~linearly with executions per process
+# (measured: 0.18 s/step fresh -> 0.9+ s/step after ~6k steps, plus ~10 MB/step
+# RSS growth); orbax resume makes restarts cheap (~90 s, cached compiles).
+set -u
+cd /root/repo
+SEG=4000
+PRETRAIN_TOTAL=${PRETRAIN_TOTAL:-14000}
+TRAIN_TOTAL=${TRAIN_TOTAL:-80000}
+PCFG=config/synth/init_gnn2_hrnetw18_npt512_synth.txt
+TCFG=config/synth/hr18GNN2_res6_gnn3Skip_mlpQuery_synth.txt
+
+step_of() {  # latest checkpoint step in dir $1
+  ls "$1" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1
+}
+
+while true; do
+  cur=$(step_of experiments/checkpoints/init_gnn2_hrnetw18_npt512_synth/obj01)
+  cur=${cur:-0}
+  [ "$cur" -ge "$PRETRAIN_TOTAL" ] && break
+  tgt=$((cur + SEG)); [ "$tgt" -gt "$PRETRAIN_TOTAL" ] && tgt=$PRETRAIN_TOTAL
+  echo "=== pretrain segment -> $tgt (from $cur)" >&2
+  nice -n -5 python -u -m checkerpose_tpu.cli.pretrain --cfg "$PCFG" \
+    --obj_name obj01 --load_checkpoint --total_iteration "$tgt" \
+    || { echo "pretrain segment failed" >&2; sleep 10; }
+done
+echo "=== pretrain complete at $PRETRAIN_TOTAL" >&2
+
+while true; do
+  cur=$(step_of experiments/checkpoints/hr18GNN2_res6_gnn3Skip_mlpQuery_synth/obj01)
+  cur=${cur:-0}
+  [ "$cur" -ge "$TRAIN_TOTAL" ] && break
+  tgt=$((cur + SEG)); [ "$tgt" -gt "$TRAIN_TOTAL" ] && tgt=$TRAIN_TOTAL
+  echo "=== train segment -> $tgt (from $cur)" >&2
+  if [ "$cur" -eq 0 ]; then
+    nice -n -5 python -u -m checkerpose_tpu.cli.train --cfg "$TCFG" \
+      --obj_name obj01 --total_iteration "$tgt" \
+      || { echo "train segment failed" >&2; sleep 10; }
+  else
+    nice -n -5 python -u -m checkerpose_tpu.cli.train --cfg "$TCFG" \
+      --obj_name obj01 --load_checkpoint --total_iteration "$tgt" \
+      || { echo "train segment failed" >&2; sleep 10; }
+  fi
+done
+echo "=== train complete at $TRAIN_TOTAL" >&2
+
+echo "=== final test" >&2
+nice -n -5 python -u -m checkerpose_tpu.cli.test --cfg "$TCFG" \
+  --obj_name obj01 --eval_output_path eval_output_synth
+echo "=== DONE" >&2
