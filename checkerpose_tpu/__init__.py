@@ -16,3 +16,13 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("CHECKERPOSE_PLATFORM"):
+    # Force the JAX backend (e.g. "cpu" to drive CLIs while the TPU is busy
+    # training). The plain JAX_PLATFORMS env var is overridden by site hooks
+    # on some images, so this must go through jax.config before backend init.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["CHECKERPOSE_PLATFORM"])

@@ -78,6 +78,7 @@ def main(cfg):
         num_hyp=int(cfg.get("pnp_num_hyp", 128)),
         reproj_thresh=float(cfg.get("pnp_reproj_thresh", 2.0)),
         soft_inlier_sigma=(0.5 if cfg.get("use_progressivex", False) else 0.0),
+        coherence_weight=(0.1 if cfg.get("use_progressivex", False) else 0.0),
         discard_bd_pixel=int(cfg.get("ignore_bit", 0)),
         main_filter=main_filter)
 

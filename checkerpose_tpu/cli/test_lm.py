@@ -72,7 +72,8 @@ def main(cfg):
             use_adi=(name in cfg["symmetric_names"]),
             main_filter=main_filter, sym_rots=sym_rots,
             num_hyp=int(cfg.get("pnp_num_hyp", 128)),
-            soft_inlier_sigma=(0.5 if cfg.get("use_progressivex", False) else 0.0))
+            soft_inlier_sigma=(0.5 if cfg.get("use_progressivex", False) else 0.0),
+            coherence_weight=(0.1 if cfg.get("use_progressivex", False) else 0.0))
         per_obj[name] = {k: v for k, v in r[main_filter].items()}
         per_obj[name]["seg_iou"] = r["seg_iou"]
         print(name, json.dumps(per_obj[name]))

@@ -27,6 +27,7 @@ class ServingPipeline:
     def __init__(self, net, knn_idx, variables, p3d_xyz, p3d_normed, *,
                  stage: Optional[int] = None, num_hyp: int = 128,
                  reproj_thresh: float = 2.0, soft_inlier_sigma: float = 0.0,
+                 coherence_weight: float = 0.0,
                  check_seg: bool = True, discard_bd_pixel: int = 0,
                  fused_edgeconv: bool = False):
         self.net = net
@@ -39,6 +40,7 @@ class ServingPipeline:
         self.num_hyp = num_hyp
         self.reproj_thresh = reproj_thresh
         self.soft_inlier_sigma = soft_inlier_sigma
+        self.coherence_weight = coherence_weight
 
         stage_ = self.stage
         res = self.res
@@ -83,7 +85,8 @@ class ServingPipeline:
         sol = solve_poses_batched(self.p3d, p2d, valid, jnp.asarray(cam_K),
                                   key, num_hyp=self.num_hyp,
                                   reproj_thresh=self.reproj_thresh,
-                                  soft_inlier_sigma=self.soft_inlier_sigma)
+                                  soft_inlier_sigma=self.soft_inlier_sigma,
+                                  coherence_weight=self.coherence_weight)
         return sol
 
     def stream(self, batches, key, depth: int = 2):

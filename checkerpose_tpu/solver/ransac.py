@@ -7,10 +7,19 @@ hypothesis batch is solved and scored in parallel, then the best model is
 polished by weighted EPnP + Gauss-Newton on its inliers. vmap over images
 gives whole-test-set pose solving in one jitted call.
 
-The `use_progressivex` reference flag maps to `soft_inlier_sigma > 0`:
-inlier scoring becomes a soft sigmoid weighting followed by iterated
-reweighted refinement, which plays the same robustness role as Prog-X's
-spatial-coherence optimization without data-dependent iteration.
+The `use_progressivex` reference flag maps to `soft_inlier_sigma > 0` plus
+`coherence_weight > 0`: inlier scoring becomes a soft sigmoid weighting and
+the iterated reweighting diffuses inlier weights over the 2D neighborhood
+graph (ball radius = Prog-X's `neighborhood_ball_radius`, 20 px; weight =
+its `spatial_coherence_weight`, 0.1 — `CNN_output_to_pose.py:262-273`).
+That diffusion is a one-sweep relaxation of the Potts spatial-coherence
+energy Prog-X minimizes in its PEARL labeling step: neighboring
+correspondences pull each other toward the same inlier/outlier label.
+Prog-X's Tanimoto-similarity test (reject a new model whose inlier set
+overlaps an accepted one at >= 0.9) governs *multi-instance* model growth;
+CheckerPose always solves one instance per crop (single-model output at
+`test_network_with_test_data.py:93-115`), so that test has no effect here
+and is intentionally not replicated.
 """
 from __future__ import annotations
 
@@ -37,11 +46,14 @@ def _sample_hypotheses(key, valid, num_hyp: int, sample_size: int):
 
 
 @partial(jax.jit, static_argnames=("num_hyp", "sample_size", "refine_iters",
-                                   "irls_rounds", "soft_inlier_sigma"))
+                                   "irls_rounds", "soft_inlier_sigma",
+                                   "coherence_weight"))
 def ransac_pnp(p3d: jnp.ndarray, p2d: jnp.ndarray, valid: jnp.ndarray,
                K: jnp.ndarray, key, num_hyp: int = 128, sample_size: int = 6,
                reproj_thresh: float = 2.0, refine_iters: int = 8,
-               irls_rounds: int = 2, soft_inlier_sigma: float = 0.0):
+               irls_rounds: int = 2, soft_inlier_sigma: float = 0.0,
+               coherence_weight: float = 0.0,
+               neighborhood_radius: float = 20.0):
     """Robust pose from 2D-3D correspondences with validity mask.
 
     Args:
@@ -50,6 +62,13 @@ def ransac_pnp(p3d: jnp.ndarray, p2d: jnp.ndarray, valid: jnp.ndarray,
       reproj_thresh: inlier threshold in pixels (reference uses 2).
       soft_inlier_sigma: 0 = hard inliers (OpenCV-like); >0 = soft sigmoid
         weights (Progressive-X-like robustness).
+      coherence_weight: 0 = pure data term; >0 adds a mean-field Potts
+        smoothing step: each point's inlier logit is nudged by the consensus
+        of its 2D neighbors within `neighborhood_radius` px, so borderline
+        residuals get tipped toward their neighborhood's label while gross
+        outliers (large negative logit) stay rejected (Prog-X spatial-
+        coherence analog; Prog-X defaults: weight 0.1, ball radius 20 --
+        see module docstring).
 
     Returns dict(R (3,3), t (3,), inliers (N,) float, num_inliers (),
     success () bool). When fewer than 4 valid points exist the reference
@@ -82,12 +101,31 @@ def ransac_pnp(p3d: jnp.ndarray, p2d: jnp.ndarray, valid: jnp.ndarray,
     # full inlier set, a re-seed essentially never wins and costs a full
     # EPnP + GN chain per round (round-1 VERDICT weak #1). A warm start is
     # never replaced by a worse candidate.
+    if coherence_weight > 0:
+        # 2D neighborhood graph (row-normalized adjacency) for the spatial-
+        # coherence diffusion; invalid points neither give nor receive
+        d2 = jnp.sum((p2d[:, None] - p2d[None]) ** 2, axis=-1)
+        adj = ((d2 < neighborhood_radius ** 2) & (d2 > 0)).astype(jnp.float32)
+        adj = adj * valid[None] * valid[:, None]
+        adj_rownorm = adj / jnp.maximum(jnp.sum(adj, axis=1, keepdims=True), 1.0)
+
     def inlier_w(R, t):
         e = reproj_errors(R, t, p3d, p2d, K)
         if soft_inlier_sigma > 0:
             w = jax.nn.sigmoid((reproj_thresh - e) / soft_inlier_sigma) * valid
         else:
             w = (e < reproj_thresh).astype(jnp.float32) * valid
+        if coherence_weight > 0:
+            # mean-field update of the Potts coherence term: logit_i +=
+            # kappa * (2*consensus_i - 1). Sharpness follows the data term
+            # (hard mode uses a 0.25 px relaxation); kappa maps Prog-X's
+            # relative weight into logit units (0.1 -> 1.0: can flip points
+            # within ~sigma of the threshold, never a gross outlier).
+            sig = soft_inlier_sigma if soft_inlier_sigma > 0 else 0.25
+            logit = (reproj_thresh - e) / sig
+            consensus = adj_rownorm @ (jax.nn.sigmoid(logit) * valid)
+            kappa = 10.0 * coherence_weight
+            w = jax.nn.sigmoid(logit + kappa * (2.0 * consensus - 1.0)) * valid
         # guard: if no inliers survive keep previous estimate via weights=valid
         return jnp.where(jnp.sum(w) >= 4, w, valid)
 

@@ -135,3 +135,33 @@ def test_soft_inlier_mode():
                      jnp.asarray(K), jax.random.PRNGKey(4), num_hyp=64,
                      soft_inlier_sigma=0.5)
     assert _rot_err_deg(np.asarray(out["R"]), R) < 3.0
+
+
+def test_spatial_coherence_mode():
+    """Prog-X spatial-coherence analog: inlier weights diffuse over the 2D
+    neighborhood graph (ball radius 20 px, weight 0.1 -- the reference's
+    find6DPoses params, CNN_output_to_pose.py:262-273)."""
+    R, t, p3d, uv = _scene(21, noise=0.5, outlier_frac=0.3)
+    out = ransac_pnp(jnp.asarray(p3d), jnp.asarray(uv), jnp.ones(len(uv)),
+                     jnp.asarray(K), jax.random.PRNGKey(5), num_hyp=64,
+                     soft_inlier_sigma=0.5, coherence_weight=0.1)
+    assert _rot_err_deg(np.asarray(out["R"]), R) < 3.0
+    assert np.linalg.norm(np.asarray(out["t"]) - t) < 8.0
+
+
+def test_spatial_coherence_smooths_isolated_outlier():
+    """A clean point whose only fault is a just-over-threshold residual gets
+    pulled back by coherent neighbors: its final weight under coherence must
+    exceed its (0) hard-inlier weight, while far-off outliers stay rejected."""
+    R, t, p3d, uv = _scene(22, noise=0.0, outlier_frac=0.0, t_z=420.0)
+    uv = uv.copy()
+    uv[7] += 2.5  # marginal: just past the 2 px threshold
+    uv[11] += 60.0  # gross outlier
+    out_hard = ransac_pnp(jnp.asarray(p3d), jnp.asarray(uv), jnp.ones(len(uv)),
+                          jnp.asarray(K), jax.random.PRNGKey(6), num_hyp=64)
+    out_coh = ransac_pnp(jnp.asarray(p3d), jnp.asarray(uv), jnp.ones(len(uv)),
+                         jnp.asarray(K), jax.random.PRNGKey(6), num_hyp=64,
+                         coherence_weight=0.1)
+    # both reject the gross outlier and recover the pose
+    assert not bool(out_hard["inliers"][11]) and not bool(out_coh["inliers"][11])
+    assert _rot_err_deg(np.asarray(out_coh["R"]), R) < 1.0

@@ -6,9 +6,15 @@
 # RSS growth); orbax resume makes restarts cheap (~90 s, cached compiles).
 set -u
 cd /root/repo
-SEG=4000
+# keep /root/.axon_site on the path: its sitecustomize registers the axon
+# TPU backend (JAX_PLATFORMS=axon fails hard without it)
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
+# SEG ~ sqrt(2*restart_cost/degradation_rate): 0.18 s/step fresh, +1.8e-4
+# s/step^2 measured -> optimum near 1000-1500 steps/segment.
+SEG=${SEG:-1200}
 PRETRAIN_TOTAL=${PRETRAIN_TOTAL:-14000}
 TRAIN_TOTAL=${TRAIN_TOTAL:-80000}
+TEST_FREQ=${TEST_FREQ:-2000}
 PCFG=config/synth/init_gnn2_hrnetw18_npt512_synth.txt
 TCFG=config/synth/hr18GNN2_res6_gnn3Skip_mlpQuery_synth.txt
 
@@ -24,6 +30,7 @@ while true; do
   echo "=== pretrain segment -> $tgt (from $cur)" >&2
   nice -n -5 python -u -m checkerpose_tpu.cli.pretrain --cfg "$PCFG" \
     --obj_name obj01 --load_checkpoint --total_iteration "$tgt" \
+    --test_freq "$TEST_FREQ" \
     || { echo "pretrain segment failed" >&2; sleep 10; }
 done
 echo "=== pretrain complete at $PRETRAIN_TOTAL" >&2
@@ -36,11 +43,12 @@ while true; do
   echo "=== train segment -> $tgt (from $cur)" >&2
   if [ "$cur" -eq 0 ]; then
     nice -n -5 python -u -m checkerpose_tpu.cli.train --cfg "$TCFG" \
-      --obj_name obj01 --total_iteration "$tgt" \
+      --obj_name obj01 --total_iteration "$tgt" --test_freq "$TEST_FREQ" \
       || { echo "train segment failed" >&2; sleep 10; }
   else
     nice -n -5 python -u -m checkerpose_tpu.cli.train --cfg "$TCFG" \
       --obj_name obj01 --load_checkpoint --total_iteration "$tgt" \
+      --test_freq "$TEST_FREQ" \
       || { echo "train segment failed" >&2; sleep 10; }
   fi
 done
