@@ -89,6 +89,11 @@ def main(cfg):
 
     train_loader, val_loader_factory = common.build_train_loaders(cfg, xyz)
     starts = stage_start_steps(cfg) or tuple([0] * net.num_refine_steps)
+    if starts and starts[0] > 0:
+        print(f"WARNING: stage_start_steps {starts} begins >0; steps before "
+              f"{starts[0]} run at stage 1, not 0 (the seg head needs one "
+              "UpBlock; the reference's seg conv has the same constraint)",
+              flush=True)
 
     step_fns = {}
     for stage in range(1, net.num_refine_steps + 1):

@@ -163,3 +163,29 @@ def test_evaluate_pipeline_stacked_modes(setup):
         stage=3, use_adi=False, num_hyp=16, sym_rots=None,
         filter_modes=("none",), main_filter="none")
     assert report["none"]["mean_re_deg"] <= plain["none"]["mean_re_deg"] + 1e-4
+
+
+def test_curriculum_stage_transition(setup):
+    """One shared state must train through stage 1 -> 2 -> 3 (the progressive
+    curriculum, reference train.py:272 get_train_stage): every stage variant
+    applies to the same param/opt tree and produces finite losses."""
+    p3d, knn = setup
+    net = PoseNet(npoint=NPT, res_log2=6, backbone_name="resnet34",
+                  num_graph_module=1, init_num_graph_module=1, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    state = create_pose_state(net, knn, CROP, opt, NPT)
+    sd = {"params": state.params, "batch_stats": state.batch_stats,
+          "opt_state": state.opt_state}
+    rng = np.random.default_rng(11)
+    batch = _fake_batch(rng)
+    from checkerpose_tpu.ops.geometry import pc_normalize
+    batch["p3d_normed"] = np.tile(pc_normalize(p3d)[None], (2, 1, 1)).astype(np.float32)
+    for i, stage in enumerate((1, 2, 3)):
+        step = steps.make_train_step(net, knn, opt, stage=stage,
+                                     use_pepper_salt=False,
+                                     use_motion_blur=False)
+        sd, metrics = step(sd, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(metrics["loss"])), (stage, metrics)
+    # late-stage params exist from init and stay finite through early stages
+    leaves = jax.tree_util.tree_leaves(sd["params"])
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
