@@ -76,6 +76,24 @@ def main(batch=256):
     print(f"posenet fused b{batch}: {dt_p*1000:.1f} ms = {batch/dt_p:.0f} crops/s "
           f"({dt_f/dt_p:.2f}x)")
 
+    # roofline: XLA's own FLOP/byte estimates for the compiled programs
+    # (cost_analysis flops are the compiler's count of executed HLO flops)
+    for name, f, args, dt in (
+            ("backbone", bfwd, (bvar, x), dt_bb),
+            ("posenet+decode", fwd, (variables, batch_d), dt_f)):
+        try:
+            ca = f.lower(*args).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            fl = float(ca.get("flops", 0.0))
+            by = float(ca.get("bytes accessed", 0.0))
+            tf = fl / dt / 1e12
+            gbs = by / dt / 1e9
+            print(f"roofline {name}: {fl/1e9:.1f} GFLOP, {by/1e9:.2f} GB "
+                  f"-> {tf:.1f} TFLOP/s ({tf/155*100:.0f}% of 155 peak), "
+                  f"{gbs:.0f} GB/s, intensity {fl/max(by,1):.0f} flop/B")
+        except Exception as e:  # cost_analysis availability varies by backend
+            print(f"roofline {name}: unavailable ({e})")
+
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
