@@ -59,18 +59,23 @@ def _vertex_colors(n, rng, verts=None):
     localization learnable -- flat shading alone leaves the orientation
     unobservable and code training stuck at chance).
 
-    The identity signal lives mostly in LUMINANCE (all channels share a
-    random gray level) with a smaller coordinate-keyed tint: the reference
-    augmentation chain multiplies/inverts channels independently
-    (ops/augment.py), which scrambles pure color-identity textures but
-    preserves relative luminance patterns."""
-    gray = rng.integers(30, 256, (n, 1))
-    c = np.repeat(gray, 3, axis=1).astype(np.int64)
-    if verts is not None:
-        lo, hi = verts.min(0), verts.max(0)
-        tint = 60.0 * (verts - lo) / (hi - lo + 1e-9) - 30.0
-        c = c + tint.astype(np.int64)
-    return np.clip(c, 0, 255)
+    The dominant signal is a COORDINATE ramp (NOCS-style: RGB tracks the
+    object-frame xyz of each vertex), so correspondences are *locally*
+    decodable from appearance -- like the textured objects of the real BOP
+    sets. Two earlier textures stalled x/y code training at ln2: pure
+    color-identity (scrambled by the reference aug chain's per-channel
+    Multiply/Invert, ops/augment.py) and random-gray identity (required
+    memorizing per-vertex gray levels; signal too weak under augmentation).
+    Per-channel aug ops preserve spatial gradients within each channel, so
+    the coordinate ramp survives augmentation. A small gray jitter adds
+    high-frequency texture without drowning the ramp."""
+    if verts is None:
+        gray = rng.integers(30, 256, (n, 1))
+        return np.repeat(gray, 3, axis=1).astype(np.int64)
+    lo, hi = verts.min(0), verts.max(0)
+    ramp = 40.0 + 175.0 * (verts - lo) / (hi - lo + 1e-9)
+    jitter = rng.integers(-15, 16, (n, 1))
+    return np.clip(ramp.astype(np.int64) + jitter, 0, 255)
 
 
 def _render(verts, R, t, K, rng, vert_colors):
