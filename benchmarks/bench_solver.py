@@ -17,7 +17,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from checkerpose_tpu.solver.ransac import solve_poses_batched
 
 
-def main(B=64, N=512, num_hyp=128, reps=20, seed=0):
+def main(B=64, N=512, num_hyp=128, reps=20, seed=0, refine_iters=8,
+         reseed=True, n_backtrack=3, irls_rounds=2):
     rng = np.random.default_rng(seed)
     p3d = rng.uniform(-40, 40, (N, 3)).astype(np.float32)
     K = np.array([[572.4, 0, 325.2], [0, 573.6, 242.0], [0, 0, 1]], np.float32)
@@ -42,21 +43,25 @@ def main(B=64, N=512, num_hyp=128, reps=20, seed=0):
     valid = jnp.asarray(np.stack(valids), jnp.float32)
     key = jax.random.PRNGKey(0)
 
+    kw = dict(num_hyp=num_hyp, refine_iters=refine_iters, reseed=reseed,
+              n_backtrack=n_backtrack, irls_rounds=irls_rounds)
     sol = solve_poses_batched(jnp.asarray(p3d), p2d, valid, jnp.asarray(K),
-                              key, num_hyp=num_hyp)
+                              key, **kw)
     _ = float(jnp.sum(sol["t"]))  # sync (block_until_ready lies on this tunnel)
     t0 = time.perf_counter()
     for i in range(reps):
         sol = solve_poses_batched(jnp.asarray(p3d), p2d, valid, jnp.asarray(K),
-                                  jax.random.fold_in(key, i), num_hyp=num_hyp)
+                                  jax.random.fold_in(key, i), **kw)
         _ = float(jnp.sum(sol["t"]))
     dt = (time.perf_counter() - t0) / reps
     Re = np.asarray(sol["R"])
     ang = [np.degrees(np.arccos(np.clip((np.trace(a.T @ b) - 1) / 2, -1, 1)))
            for a, b in zip(Re, Rs)]
-    print(f"solver batch {B} (N={N}, hyp={num_hyp}): {dt*1000:.1f} ms "
-          f"= {B/dt:.0f} solves/s; rot err mean {np.mean(ang):.3f} deg, "
-          f"median {np.median(ang):.3f}, max {np.max(ang):.3f}")
+    print(f"solver batch {B} (N={N}, hyp={num_hyp}, gn={refine_iters}, "
+          f"reseed={reseed}, bt={n_backtrack}, irls={irls_rounds}): "
+          f"{dt*1000:.1f} ms = {B/dt:.0f} solves/s; rot err mean "
+          f"{np.mean(ang):.3f} deg, median {np.median(ang):.3f}, "
+          f"max {np.max(ang):.3f}")
 
 
 if __name__ == "__main__":
@@ -64,5 +69,11 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--num_hyp", type=int, default=128)
     p.add_argument("--npoint", type=int, default=512)
+    p.add_argument("--refine_iters", type=int, default=8)
+    p.add_argument("--no_reseed", action="store_true")
+    p.add_argument("--n_backtrack", type=int, default=3)
+    p.add_argument("--irls_rounds", type=int, default=2)
     a = p.parse_args()
-    main(B=a.batch, num_hyp=a.num_hyp, N=a.npoint)
+    main(B=a.batch, num_hyp=a.num_hyp, N=a.npoint, refine_iters=a.refine_iters,
+         reseed=not a.no_reseed, n_backtrack=a.n_backtrack,
+         irls_rounds=a.irls_rounds)

@@ -248,7 +248,8 @@ def reproj_errors(R, t, p3d, p2d, K):
 
 
 @_full_precision
-def refine_pose_gn(R, t, p3d, p2d, K, w, iters: int = 8, damping: float = 1e-5):
+def refine_pose_gn(R, t, p3d, p2d, K, w, iters: int = 8, damping: float = 1e-5,
+                   n_backtrack: int = 3):
     """Fixed-iteration damped Gauss-Newton on SE(3), weighted reprojection.
 
     Left-multiplicative update R <- exp(omega) R, t <- t + dt. Static loop
@@ -305,7 +306,10 @@ def refine_pose_gn(R, t, p3d, p2d, K, w, iters: int = 8, damping: float = 1e-5):
             d = delta * scale
             return rodrigues(d[:3]) @ R, t + d[3:]
 
-        cands = [apply(s) for s in (1.0, 0.5, 0.25)] + [(R, t)]
+        # n_backtrack halving candidates + no-step; fewer candidates = lower
+        # sequential latency (the solver is op-count-bound, not FLOP-bound)
+        scales = tuple(0.5 ** i for i in range(n_backtrack))
+        cands = [apply(s) for s in scales] + [(R, t)]
         costs = jnp.stack([cost(Rc, tc) for Rc, tc in cands])
         best = jnp.argmin(costs)
         R_new = jnp.stack([c[0] for c in cands])[best]

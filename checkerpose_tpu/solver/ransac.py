@@ -47,13 +47,15 @@ def _sample_hypotheses(key, valid, num_hyp: int, sample_size: int):
 
 @partial(jax.jit, static_argnames=("num_hyp", "sample_size", "refine_iters",
                                    "irls_rounds", "soft_inlier_sigma",
-                                   "coherence_weight"))
+                                   "coherence_weight", "reseed",
+                                   "n_backtrack"))
 def ransac_pnp(p3d: jnp.ndarray, p2d: jnp.ndarray, valid: jnp.ndarray,
                K: jnp.ndarray, key, num_hyp: int = 128, sample_size: int = 6,
                reproj_thresh: float = 2.0, refine_iters: int = 8,
                irls_rounds: int = 2, soft_inlier_sigma: float = 0.0,
                coherence_weight: float = 0.0,
-               neighborhood_radius: float = 20.0):
+               neighborhood_radius: float = 20.0, reseed: bool = True,
+               n_backtrack: int = 3):
     """Robust pose from 2D-3D correspondences with validity mask.
 
     Args:
@@ -136,21 +138,30 @@ def ransac_pnp(p3d: jnp.ndarray, p2d: jnp.ndarray, valid: jnp.ndarray,
         better = werr(Rc, tc, w) < werr(R, t, w)
         return jnp.where(better, Rc, R), jnp.where(better, tc, t)
 
-    # round 1: warm GN vs fresh EPnP re-seed + GN
+    # round 1: warm GN (vs fresh EPnP re-seed + GN when reseed=True; the
+    # reseed mainly rescues a poor best hypothesis -- with enough hypotheses
+    # it rarely wins, and dropping it removes a full EPnP + GN chain of
+    # sequential latency)
     w = inlier_w(R0, t0)
-    R1, t1 = refine_pose_gn(R0, t0, p3d, p2d, K, w, iters=refine_iters)
-    R2, t2 = epnp(p3d, p2d, K, w)
-    R2, t2 = refine_pose_gn(R2, t2, p3d, p2d, K, w, iters=refine_iters)
-    use2 = werr(R2, t2, w) < werr(R1, t1, w)
-    Rc = jnp.where(use2, R2, R1)
-    tc = jnp.where(use2, t2, t1)
+    R1, t1 = refine_pose_gn(R0, t0, p3d, p2d, K, w, iters=refine_iters,
+                            n_backtrack=n_backtrack)
+    if reseed:
+        R2, t2 = epnp(p3d, p2d, K, w)
+        R2, t2 = refine_pose_gn(R2, t2, p3d, p2d, K, w, iters=refine_iters,
+                                n_backtrack=n_backtrack)
+        use2 = werr(R2, t2, w) < werr(R1, t1, w)
+        Rc = jnp.where(use2, R2, R1)
+        tc = jnp.where(use2, t2, t1)
+    else:
+        Rc, tc = R1, t1
     Rf, tf = keep_better(R0, t0, Rc, tc, w)
 
     # later rounds: refresh inliers, GN-only
     def polish(carry, _):
         R, t = carry
         w = inlier_w(R, t)
-        Rc, tc = refine_pose_gn(R, t, p3d, p2d, K, w, iters=refine_iters)
+        Rc, tc = refine_pose_gn(R, t, p3d, p2d, K, w, iters=refine_iters,
+                                n_backtrack=n_backtrack)
         return keep_better(R, t, Rc, tc, w), None
 
     (Rf, tf), _ = jax.lax.scan(polish, (Rf, tf), None,

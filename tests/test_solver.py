@@ -128,6 +128,22 @@ def test_batched_solver():
         assert _rot_err_deg(np.asarray(out["R"][i]), s[0]) < 1.5
 
 
+@pytest.mark.parametrize("outlier_frac", [0.0, 0.3])
+def test_ransac_fast_profile(outlier_frac):
+    """Low-latency profile (no EPnP re-seed, 2 backtrack candidates, 5 GN
+    iters) must match the default profile's accuracy bounds: the reseed only
+    rescues a poor best hypothesis and the extra GN iterations/candidates
+    polish inside the f32 noise floor (BENCH.md solver notes)."""
+    R, t, p3d, uv = _scene(3, noise=0.5, outlier_frac=outlier_frac)
+    out = ransac_pnp(jnp.asarray(p3d), jnp.asarray(uv), jnp.ones(len(uv)),
+                     jnp.asarray(K), jax.random.PRNGKey(0), num_hyp=64,
+                     refine_iters=5, reseed=False, n_backtrack=2)
+    assert bool(out["success"])
+    assert _rot_err_deg(np.asarray(out["R"]), R) < 3.0
+    assert np.linalg.norm(np.asarray(out["t"]) - t) < 8.0
+    assert float(out["num_inliers"]) > len(uv) * (1 - outlier_frac) * 0.8
+
+
 def test_soft_inlier_mode():
     """Progressive-X-equivalent soft scoring still recovers the pose."""
     R, t, p3d, uv = _scene(20, noise=0.5, outlier_frac=0.3)
