@@ -60,8 +60,18 @@ def main(cfg):
     writer = MetricWriter(cfg["tensorboard_path"])
 
     def eval_fn(variables):
-        return evaluate_init(net, knn, variables, val_loader_factory(), crop_gt,
-                             best_score_metric=cfg.get("best_score_metric"))
+        rep = evaluate_init(net, knn, variables, val_loader_factory(), crop_gt,
+                            best_score_metric=cfg.get("best_score_metric"))
+        be = rep.get("bit_err")
+        if be is not None:
+            # raw per-bit errors (roi, x MSB->LSB, y MSB->LSB) -- acc_x/acc_y
+            # above are confidence-WEIGHTED reproj accuracies and can sit at
+            # ~0.85 while raw bits are near chance; this line shows the truth
+            L = (len(be) - 1) // 2
+            print("  bit_err roi={:.3f} x=[{}] y=[{}]".format(
+                be[0], " ".join(f"{v:.3f}" for v in be[1:1 + L]),
+                " ".join(f"{v:.3f}" for v in be[1 + L:])), flush=True)
+        return rep
 
     state = run_training(
         state=state, step_fns={None: step}, loader=train_loader,

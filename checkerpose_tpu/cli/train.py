@@ -117,11 +117,20 @@ def main(cfg):
         return batch
 
     def eval_fn(variables):
-        return evaluate_pipeline(
+        rep = evaluate_pipeline(
             net, knn, variables, _with_p3d(val_loader_factory(), p3dn), xyz,
             diameter, stage=net.num_refine_steps,
             use_adi=cfg.get("is_symmetric", False),
             filter_modes=("visib",), main_filter="visib")
+        if "bit_err" in rep:
+            # per-bit code errors (roi, x MSB->LSB, y MSB->LSB): the live
+            # view of which progressive bits have cracked
+            be = rep["bit_err"]
+            L = (len(be) - 1) // 2
+            print("  bit_err roi={:.3f} x=[{}] y=[{}]".format(
+                be[0], " ".join(f"{v:.3f}" for v in be[1:1 + L]),
+                " ".join(f"{v:.3f}" for v in be[1 + L:])), flush=True)
+        return rep
 
     state = run_training(
         state=state, step_fns=step_fns, loader=train_loader,
