@@ -1,0 +1,103 @@
+"""Oracle-corruption sweep: pose accuracy of the decode->RANSAC stack vs
+binary-code bit-error rate.
+
+The reference never isolates its post-network stack (codes -> 2D points ->
+PnP -> ADD, `test_network_with_test_data.py:32-115`); this sweep does, by
+feeding GT codes with controlled bit corruption through the full decode +
+batched RANSAC path and measuring ADD pass rates. It pins down the bit-error
+budget the network must meet: with <= 5% random bit flips (the reference's
+trained nets report ~2-4% per-bit errors) the solver still recovers every
+pose at ADD(-S)@0.1d, so end-to-end accuracy is gated by network bit
+accuracy alone, not by this framework's solver/decode stack.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from checkerpose_tpu.ops import geometry
+from checkerpose_tpu.ops.codes import ids_to_codes, codes_to_ids
+from checkerpose_tpu.eval.decode import ids_to_correspondences
+from checkerpose_tpu.eval import metrics as M
+from checkerpose_tpu.solver.ransac import solve_poses_batched
+
+K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]], np.float32)
+RES = 64
+L = 6
+
+
+def _scenes(n_img=8, n_kp=512, seed=0):
+    rng = np.random.default_rng(seed)
+    p3d = rng.uniform(-40, 40, (n_kp, 3))
+    diameter = float(np.linalg.norm(p3d.max(0) - p3d.min(0)))
+    out = []
+    for _ in range(n_img):
+        A = rng.standard_normal((3, 3))
+        Q, _ = np.linalg.qr(A)
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] *= -1
+        t = np.array([rng.uniform(-30, 30), rng.uniform(-30, 30),
+                      rng.uniform(380, 520)])
+        uv, _ = geometry.project_pts(p3d, K.astype(np.float64), Q, t)
+        x0, y0 = uv.min(0) - 10
+        s = float(max(*(uv.max(0) - uv.min(0) + 20)))
+        bbox = geometry.square_bbox(np.array([x0, y0, s, s]))
+        roi, x_id, y_id = geometry.make_code_labels(
+            jnp.asarray(uv, jnp.float32), jnp.asarray(bbox, jnp.float32), RES)
+        out.append((Q, t, bbox, np.asarray(roi), np.asarray(x_id),
+                    np.asarray(y_id)))
+    return p3d.astype(np.float32), diameter, out
+
+
+@pytest.mark.parametrize("flip_rate,min_adx10", [
+    (0.00, 1.0),   # oracle: exact recovery
+    (0.02, 1.0),   # reference-level per-bit error
+    (0.05, 1.0),   # 2x worse than reference nets
+    (0.15, 0.0),   # far beyond spec: no accuracy bound, only robustness
+])
+def test_decode_solve_under_bit_noise(flip_rate, min_adx10):
+    p3d, diameter, scenes = _scenes()
+    rng = np.random.default_rng(7)
+    p2d_b, valid_b, bbox_b = [], [], []
+    for (Q, t, bbox, roi, x_id, y_id) in scenes:
+        xc = np.asarray(ids_to_codes(jnp.asarray(x_id), L))
+        yc = np.asarray(ids_to_codes(jnp.asarray(y_id), L))
+        if flip_rate > 0:
+            xc = np.abs(xc - (rng.random(xc.shape) < flip_rate))
+            yc = np.abs(yc - (rng.random(yc.shape) < flip_rate))
+        x_noisy = np.asarray(codes_to_ids(jnp.asarray(xc, jnp.int32)))
+        y_noisy = np.asarray(codes_to_ids(jnp.asarray(yc, jnp.int32)))
+        p2d, valid = ids_to_correspondences(
+            jnp.asarray(x_noisy)[None], jnp.asarray(y_noisy)[None],
+            jnp.asarray(roi)[None], jnp.asarray(bbox, jnp.float32)[None],
+            crop_size_gt=RES)
+        p2d_b.append(np.asarray(p2d)[0])
+        valid_b.append(np.asarray(valid)[0])
+    # resolution-matched inlier threshold: decoded points carry up to one
+    # code-cell of truncation error (cell = bbox_w / RES, ~4-5 px in these
+    # scenes); the reference's 2 px default assumes its ~100-200 px detector
+    # boxes where a cell is 1.5-3 px
+    cell = float(np.mean([s[2][2] for s in scenes])) / RES
+    # at flip rate f the fraction of fully-clean points is ((1-f)^6)^2 and a
+    # RANSAC round needs >= 1 all-clean 6-point sample: at 5% that fraction
+    # is 0.54 -> P(clean sample) = 2.5%, so the hypothesis budget (not the
+    # solver math) sets the success rate -- 512 hypotheses give ~13 expected
+    # clean draws. (4-point samples raise the clean-draw rate but produce
+    # sloppy hypotheses: 4 points barely constrain EPnP under quantization
+    # noise -- measured worse even at flip 0.)
+    sol = solve_poses_batched(
+        jnp.asarray(p3d), jnp.asarray(np.stack(p2d_b)),
+        jnp.asarray(np.stack(valid_b)), jnp.asarray(K),
+        jax.random.PRNGKey(0), num_hyp=(512 if flip_rate >= 0.05 else 128),
+        reproj_thresh=cell)
+    R_gt = jnp.asarray(np.stack([s[0] for s in scenes]), jnp.float32)
+    t_gt = jnp.asarray(np.stack([s[1] for s in scenes]), jnp.float32)
+    errs = M.batched_pose_errors(sol["R"], sol["t"], R_gt, t_gt,
+                                 jnp.asarray(p3d), use_adi=False)
+    adx = np.asarray(errs["adx"])
+    adx10 = float((adx < 0.10 * diameter).mean())
+    assert np.isfinite(adx).all() and bool(np.asarray(sol["success"]).all())
+    assert adx10 >= min_adx10, (flip_rate, adx10, adx)
+    if flip_rate <= 0.05:
+        # within-spec corruption: poses are not merely "passing" but tight
+        assert float(np.median(adx)) < 0.02 * diameter
