@@ -222,6 +222,9 @@ def build_train_loaders_lm(cfg: Dict, p3d_table: Dict, seed: int = 0):
         s2 = gather_imgn()
     elif folder2 and folder2 != "none":
         s2 = gather(folder2)
+    else:
+        s2 = None
+    if s2:
         b1, b2 = mixed_batch_sizes(batch, float(cfg.get("second_dataset_ratio", 0.75)))
         l1 = Loader(CropDataset(s1, p3d_table, is_train=True, seed=seed,
                                 bg_paths=bg_paths, change_bg_prob=change_bg_prob,

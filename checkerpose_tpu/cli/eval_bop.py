@@ -39,9 +39,11 @@ def _try_vsd(ests, gt_by_im, targets_ntop, obj_id, bop_path, dataset,
         return None
     diameter = float(minfo[obj_id]["diameter"])
 
-    # per-pair per-tau errors, grouped per image
+    # per-pair per-tau errors, grouped per image; rendered distance maps are
+    # cached per POSE (est poses render once per image, GT poses once) --
+    # an image with E estimates x G GTs needs E+G renders, not 2*E*G
     depth_cache = {}
-    groups_by_tau = None
+    render_cache = {}
     ests_by_im = defaultdict(list)
     for ei, r in enumerate(ests):
         ests_by_im[(r["scene_id"], r["im_id"])].append(ei)
@@ -62,7 +64,8 @@ def _try_vsd(ests, gt_by_im, targets_ntop, obj_id, bop_path, dataset,
             for gt_id, gt in enumerate(gts):
                 pair_errs[(ei, gt_id)] = B.vsd_error(
                     r["R"], r["t"], gt.R, gt.t, depth, gt.cam_K, verts, faces,
-                    diameter)
+                    diameter, render_cache=render_cache,
+                    est_key=("e", key, ei), gt_key=("g", key, gt_id))
 
     taus = B.VSD_TAUS
     recalls = []
@@ -81,8 +84,20 @@ def _try_vsd(ests, gt_by_im, targets_ntop, obj_id, bop_path, dataset,
     return float(np.mean(recalls))
 
 
+def _probe_im_width(gt_by_im, default: int = 640) -> int:
+    """Image width for MSPD threshold scaling (official thresholds are
+    (5..50) * w/640 px, eval_calc_scores.py); read from one rgb header."""
+    import cv2
+    for gts in gt_by_im.values():
+        img = cv2.imread(gts[0].rgb_path)
+        if img is not None:
+            return int(img.shape[1])
+        break
+    return default
+
+
 def main(csv_path: str, bop_path: str, dataset: str, split: str = "test",
-         max_verts: int = 4096):
+         max_verts: int = 4096, im_width: int = 0):
     problems = B.check_bop_results_csv(csv_path)
     if problems:
         print("CSV format problems:", problems[:10])
@@ -136,7 +151,11 @@ def main(csv_path: str, bop_path: str, dataset: str, split: str = "test",
             jnp.asarray(np.stack(Ks), jnp.float32), jnp.asarray(verts, jnp.float32),
             jnp.asarray(sym_R), jnp.asarray(sym_t))
         mssd_e = np.asarray(errs["mssd"], np.float64) / diameter
-        mspd_e = np.asarray(errs["mspd"], np.float64)  # im_width 640 -> factor 1
+        # official MSPD thresholds scale with image width ((5..50)*w/640);
+        # equivalently scale the pixel errors by 640/w (w probed from the rgb
+        # headers unless --im_width overrides): tless=720, itodd=1280, ...
+        w_im = im_width or _probe_im_width(gt_by_im)
+        mspd_e = np.asarray(errs["mspd"], np.float64) * (640.0 / w_im)
 
         # build official matching groups per (scene, im)
         est_errors = defaultdict(dict)   # est_idx -> {gt_id: (mssd_n, mspd)}
@@ -193,5 +212,7 @@ if __name__ == "__main__":
     p.add_argument("--bop_path", required=True)
     p.add_argument("--dataset", required=True)
     p.add_argument("--split", default="test")
+    p.add_argument("--im_width", type=int, default=0,
+                   help="image width for MSPD scaling (0 = probe from rgb)")
     a = p.parse_args()
-    main(a.csv, a.bop_path, a.dataset, a.split)
+    main(a.csv, a.bop_path, a.dataset, a.split, im_width=a.im_width)

@@ -62,9 +62,12 @@ def main(cfg):
         # (reference test_lm.py:33-55 get_closest_rot)
         sym_rots = None
         if name in cfg["symmetric_names"]:
+            # symmetry_transformations always seeds with the identity, so a
+            # non-trivial symmetry set means len > 1 (and no extra identity
+            # row needs stacking)
             syms = M.symmetry_transformations(minfo[obj_id])
-            if syms:
-                sym_rots = np.stack([np.eye(3)] + [R for R, _ in syms])
+            if len(syms) > 1:
+                sym_rots = np.stack([R for R, _ in syms])
         r = evaluate_pipeline(
             net, knn_stack, state.variables(), with_p3d(loader),
             p3d_table[obj_id], float(minfo[obj_id]["diameter"]),

@@ -125,24 +125,45 @@ def _visib_mask(d_test, d_model, delta):
 def vsd_error(R_est, t_est, R_gt, t_gt, depth_test, K, verts, faces,
               diameter: float, delta: float = VSD_DELTA, taus=VSD_TAUS,
               cost_type: str = "step",
-              normalized_by_diameter: bool = True):
+              normalized_by_diameter: bool = True, render_cache=None,
+              est_key=None, gt_key=None):
     """Visible Surface Discrepancy (Hodan et al., ECCV'18), the exact
     `pose_error.vsd` recipe backed by eval/renderer.py instead of the C++
     bop_renderer. Returns one error per tau.
+
+    render_cache/est_key/gt_key: optional caller-owned cache of rendered
+    DISTANCE maps keyed per pose -- matching is many-to-many (every estimate
+    scores against every GT instance), so caching turns 2*E*G renders per
+    image into E+G. The test-depth distance map is cached under
+    id(depth_test).
     """
     from checkerpose_tpu.eval.renderer import render_depth
     h, w = depth_test.shape
-    d_est = render_depth(verts, faces, R_est, t_est, K, w, h)
-    d_gt = render_depth(verts, faces, R_gt, t_gt, K, w, h)
-    dist_test = depth_to_dist(depth_test, K)
-    dist_est = depth_to_dist(d_est, K)
-    dist_gt = depth_to_dist(d_gt, K)
+
+    def dist_of(R, t, ck):
+        if render_cache is not None and ck is not None and ck in render_cache:
+            return render_cache[ck]
+        d = depth_to_dist(render_depth(verts, faces, R, t, K, w, h), K)
+        if render_cache is not None and ck is not None:
+            render_cache[ck] = d
+        return d
+
+    dist_est = dist_of(R_est, t_est, est_key)
+    dist_gt = dist_of(R_gt, t_gt, gt_key)
+    tk = ("test", id(depth_test))
+    if render_cache is not None and tk in render_cache:
+        dist_test = render_cache[tk]
+    else:
+        dist_test = depth_to_dist(depth_test, K)
+        if render_cache is not None:
+            render_cache[tk] = dist_test
 
     visib_gt = _visib_mask(dist_test, dist_gt, delta)
     visib_est = _visib_mask(dist_test, dist_est, delta)
     # est pose is additionally "visible" wherever the GT pose is
-    # (visibility.py:estimate_visib_mask_est)
-    visib_est = np.logical_or(visib_est, np.logical_and(visib_gt, d_est > 0))
+    # (visibility.py:estimate_visib_mask_est; depth==0 <=> distance==0, so
+    # the rendered-distance map carries the same support mask)
+    visib_est = np.logical_or(visib_est, np.logical_and(visib_gt, dist_est > 0))
 
     inter = np.logical_and(visib_gt, visib_est)
     union = np.logical_or(visib_gt, visib_est)

@@ -160,7 +160,11 @@ def batched_pose_errors(R_est, t_est, R_gt, t_gt, pts, use_adi: bool = False,
         re = jax.vmap(re_error)(R_est, R_gt)
     else:
         def one(Re, Rg):
-            return jnp.min(jax.vmap(lambda S: re_error(Re, Rg @ S))(sym_rots))
+            # Rg @ S must run in true f32: bf16 matmul error (~2^-8) in the
+            # composed rotation feeds arccos near cos=1 and can report
+            # degrees of error on a perfect pose (CLAUDE.md env rule 2)
+            with jax.default_matmul_precision("float32"):
+                return jnp.min(jax.vmap(lambda S: re_error(Re, Rg @ S))(sym_rots))
         re = jax.vmap(one)(R_est, R_gt)
     te = jax.vmap(te_error)(t_est, t_gt)
     return {"adx": adx, "re": re, "te": te}

@@ -57,7 +57,12 @@ def render_depth(verts: np.ndarray, faces: np.ndarray, R: np.ndarray,
 
     zflat = np.full(im_h * im_w, np.inf, np.float32)
     lo = 0
-    for T in _BUCKETS:
+    # the clipped extent never exceeds the image, so appending one bucket at
+    # max(im_w, im_h) guarantees every triangle lands in SOME bucket even on
+    # frames wider than the largest static bucket (e.g. 1280px ITODD)
+    big = max(im_w, im_h)
+    buckets = [b for b in _BUCKETS if b < big] + [big]
+    for T in buckets:
         sel = np.nonzero(nondeg & (size > lo) & (size <= T))[0]
         lo = T
         if len(sel) == 0:
@@ -68,8 +73,6 @@ def render_depth(verts: np.ndarray, faces: np.ndarray, R: np.ndarray,
             _raster_block(zflat, p0[idx], p1[idx], p2[idx], w0[idx], w1[idx],
                           w2[idx], area[idx], xmin[idx], ymin[idx], T,
                           im_w, im_h)
-        if T >= max(im_w, im_h):
-            break
     out = zflat.reshape(im_h, im_w)
     out[~np.isfinite(out)] = 0.0
     return out

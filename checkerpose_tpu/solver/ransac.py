@@ -138,6 +138,16 @@ def ransac_pnp(p3d: jnp.ndarray, p2d: jnp.ndarray, valid: jnp.ndarray,
         better = werr(Rc, tc, w) < werr(R, t, w)
         return jnp.where(better, Rc, R), jnp.where(better, tc, t)
 
+    # irls_rounds=0: no polish at all -- return the raw best hypothesis
+    if irls_rounds <= 0:
+        final_err = reproj_errors(R0, t0, p3d, p2d, K)
+        inliers = (final_err < reproj_thresh).astype(jnp.float32) * valid
+        success = n_valid >= 4
+        return {"R": jnp.where(success, R0, jnp.eye(3)),
+                "t": jnp.where(success, t0, jnp.zeros(3)),
+                "inliers": inliers, "num_inliers": jnp.sum(inliers),
+                "success": success}
+
     # round 1: warm GN (vs fresh EPnP re-seed + GN when reseed=True; the
     # reseed mainly rescues a poor best hypothesis -- with enough hypotheses
     # it rarely wins, and dropping it removes a full EPnP + GN chain of

@@ -74,6 +74,32 @@ def test_mixed_bop_plus_imgn(imgn_root, tmp_path_factory):
     assert b["valid"].sum() == 5.0
 
 
+def test_build_train_loaders_lm_imgn_branch(imgn_root, tmp_path_factory):
+    """Regression: the cfg-driven path (`training_data_folder_2 = lm_imgn`)
+    must actually build the mixed loader -- an early version gathered the
+    imgn samples and then fell through without constructing any loader
+    (UnboundLocalError at return)."""
+    from checkerpose_tpu.cli.common import build_train_loaders_lm
+    bop_root = str(tmp_path_factory.mktemp("bop2"))
+    make_synthetic_bop(bop_root, n_objects=1, n_scenes=1, n_images=4,
+                       folders=("train_real",))
+    xyz = np.random.default_rng(1).uniform(-30, 30, (16, 3))
+    cfg = {
+        "bop_path": bop_root, "dataset_name": "synth",
+        "training_data_folder": "train_real",
+        "training_data_folder_2": "lm_imgn",
+        "lm_imgn_root": imgn_root, "imgn_n_per_obj": 0,
+        "second_dataset_ratio": 0.5, "batch_size": 4,
+        "obj_ids": [1], "obj_names": ["ape"],
+        "train_obj_visible_theshold": 0.1,
+    }
+    train_loader, val_factory = build_train_loaders_lm(cfg, {1: xyz})
+    assert isinstance(train_loader, MixedLoader)
+    b = next(iter(train_loader))
+    assert b["image"].shape == (4, 256, 256, 3)
+    assert b["valid"].sum() == 4.0
+
+
 def test_syn_always_gets_background(imgn_root, tmp_path):
     bg = tmp_path / "bg.png"
     cv2.imwrite(str(bg), np.full((64, 64, 3), 200, np.uint8))

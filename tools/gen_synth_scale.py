@@ -9,7 +9,7 @@ import time
 
 from checkerpose_tpu.data.synthetic import make_synthetic_bop
 
-ROOT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth_scale2"
+ROOT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth_scale3"  # = config/synth bop_path
 
 t0 = time.time()
 ds = make_synthetic_bop(
