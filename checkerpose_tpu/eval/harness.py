@@ -94,7 +94,11 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
     so adding modes costs solver *batch*, not extra launches.
     """
     fwd = steps.make_pose_forward(net, knn_idx, stage)
-    res = 2 ** (3 + stage)
+    # the net declares its id resolution: 2**(3+stage) for the progressive
+    # net, full 2**res_log2 at every stage for the woProg ablation (whose
+    # ids would otherwise be scaled onto the wrong grid here)
+    res = 2 ** (net.output_res_log2(stage) if hasattr(net, "output_res_log2")
+                else (3 + stage))
     verts = jnp.asarray(vertices if vertices is not None else p3d_xyz, jnp.float32)
     p3dj = jnp.asarray(p3d_xyz, jnp.float32)
     sym_j = None if sym_rots is None else jnp.asarray(sym_rots, jnp.float32)
@@ -109,8 +113,13 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
     n_images = 0
 
     for batch in loader:
-        n_real = int(batch.pop("n_real", len(batch["image"])))
-        out = fwd(variables, batch)
+        n_real = int(batch.get("n_real", len(batch["image"])))
+        # only the fields the jitted forward consumes go to the device --
+        # shipping GT masks/poses/ids through the tunnel every batch is
+        # pure H2D waste (and popping would mutate the caller's dict)
+        fwd_batch = {k: batch[k] for k in ("image", "p3d_normed", "obj_idx")
+                     if k in batch}
+        out = fwd(variables, fwd_batch)
         key, sub = jax.random.split(key)
         R_gt = jnp.asarray(batch["R"])
         t_gt = jnp.asarray(batch["t"]).reshape(-1, 3)
@@ -138,18 +147,22 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
         errs_all = M.batched_pose_errors(
             sol_all["R"], sol_all["t"], jnp.tile(R_gt, (nm, 1, 1)),
             jnp.tile(t_gt, (nm, 1)), verts, use_adi=use_adi, sym_rots=sym_j)
+        # materialize ONCE per batch; per-element jnp slicing below would be
+        # eager dispatch (~0.4 s/op on this host, CLAUDE.md env rule 4)
+        sol_all = {k: np.asarray(v) for k, v in sol_all.items()}
+        errs_all = {k: np.asarray(v) for k, v in errs_all.items()}
 
         mode_results = {}
         for mi, mode in enumerate(filter_modes):
             sl = slice(mi * B, (mi + 1) * B)
             sol = {k: v[sl] for k, v in sol_all.items()}
-            ok = np.asarray(sol["success"]) & sample_valid
-            adx = np.where(ok, np.asarray(errs_all["adx"][sl]), np.inf)
+            ok = sol["success"] & sample_valid
+            adx = np.where(ok, errs_all["adx"][sl], np.inf)
             per_mode_errs[mode].append(adx[:n_real])
             per_mode_re[mode].append(
-                np.where(ok, np.asarray(errs_all["re"][sl]), 180.0)[:n_real])
+                np.where(ok, errs_all["re"][sl], 180.0)[:n_real])
             per_mode_te[mode].append(
-                np.where(ok, np.asarray(errs_all["te"][sl]), np.inf)[:n_real])
+                np.where(ok, errs_all["te"][sl], np.inf)[:n_real])
             mode_results[mode] = sol
 
         if "proj_xy" in batch:
@@ -197,5 +210,8 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
     report["seg_iou"] = float(np.mean(seg_iou)) if seg_iou else 1.0
     if bit_errs:
         report["bit_err"] = np.concatenate(bit_errs).mean(axis=0).tolist()
-    report["test_acc"] = report[main_filter]["adx10"]
+    # same fallback as the pose-export filter above: a main_filter not in
+    # filter_modes must not KeyError away the whole sweep's results
+    eff_main = main_filter if main_filter in filter_modes else filter_modes[0]
+    report["test_acc"] = report[eff_main]["adx10"]
     return report

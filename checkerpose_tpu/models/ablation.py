@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from checkerpose_tpu.models.backbone import BACKBONE_FEAT_DIMS
 from checkerpose_tpu.models.graph import EdgeConv
 from checkerpose_tpu.models.init_net import InitNet
 from checkerpose_tpu.models.posenet import UpBlock, _hard_ids
@@ -62,6 +61,13 @@ class PoseNetWoProg(nn.Module):
     @property
     def num_refine_steps(self) -> int:
         return self.res_log2 - 3
+
+    def output_res_log2(self, stage: Optional[int]) -> int:
+        """The single final query head always emits all res_log2 bits, so
+        x_id/y_id are at full resolution at EVERY stage (unlike the
+        progressive net whose resolution is 2**(3+stage)); the eval harness
+        must decode at this resolution or the 2D points scale wrongly."""
+        return self.res_log2
 
     @nn.compact
     def __call__(self, img, knn_idx, p3d_normed=None, stage: Optional[int] = None,

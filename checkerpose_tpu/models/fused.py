@@ -39,7 +39,11 @@ def build_fused_registry(variables, knn_idx: np.ndarray, *,
         if "conv" in p and isinstance(p["conv"], dict) and "kernel" in p["conv"] \
                 and "bn" in p and s is not None and "bn" in s:
             k = np.asarray(p["conv"]["kernel"])
-            if k.ndim == 2 and k.shape[0] == 2 * (k.shape[0] // 2):
+            # an EdgeConv Dense kernel maps concat[x_j - x_i, x_i] -> C', so
+            # its input dim is exactly twice its output dim; anything else
+            # (e.g. a future conv+bn pair that merely shares the names) must
+            # NOT be swapped for the fused kernel
+            if k.ndim == 2 and k.shape[0] == 2 * k.shape[1]:
                 slope = init_slope if path and path[0] == "init_net" else refine_slope
                 bnp = p["bn"]
                 bns = s["bn"]

@@ -49,7 +49,11 @@ class EdgeConv(nn.Module):
     def __call__(self, x, knn_idx, train: bool):
         if not train:
             reg = _FUSED_REGISTRY.get()
-            if reg:
+            # fused params bake in a single STATIC (N, K) graph; a per-sample
+            # (B, N, K) knn_idx (LM multi-object, train/steps.knn_for_batch)
+            # must take the XLA path -- silently using the registry's graph
+            # would compute wrong neighbors
+            if reg and getattr(knn_idx, "ndim", 2) == 2:
                 try:
                     path = tuple(self.scope.path)
                 except Exception:

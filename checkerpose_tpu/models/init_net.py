@@ -17,7 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
-from checkerpose_tpu.models.backbone import make_backbone, CONV1X1_IN_CHANS
+from checkerpose_tpu.models.backbone import make_backbone
 from checkerpose_tpu.models.graph import EdgeConv
 
 

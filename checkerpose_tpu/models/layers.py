@@ -8,7 +8,7 @@ construction, resolving the reference's BN-under-data-parallelism question
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -74,27 +74,6 @@ class Bottleneck(nn.Module):
             residual = ConvBNAct(out_feats, 1, self.stride, None, dtype=self.dtype,
                                  name="downsample")(x, train)
         return nn.relu(y + residual)
-
-
-def mlp_leaky(dims: Sequence[int], do_last_act: bool, slope: float, dtype=jnp.bfloat16,
-              name_prefix: str = "mlp"):
-    """Stack of Dense+LeakyReLU mirroring `get_MLP_leakyReLU_layers`
-    (reference `model/pipeline.py:61-69`). Returns a list of (Dense, act?) to
-    apply; used inside @nn.compact callers."""
-    layers = []
-    n = len(dims)
-    for i in range(1, n):
-        layers.append((nn.Dense(dims[i], dtype=dtype, name=f"{name_prefix}_{i - 1}"),
-                       not (i == n - 1 and not do_last_act), slope))
-    return layers
-
-
-def apply_mlp(layers, x):
-    for dense, do_act, slope in layers:
-        x = dense(x)
-        if do_act:
-            x = nn.leaky_relu(x, negative_slope=slope)
-    return x
 
 
 def upsample_bilinear_2x(x: jnp.ndarray) -> jnp.ndarray:

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from checkerpose_tpu.models.backbone import BACKBONE_FEAT_DIMS
 from checkerpose_tpu.models.graph import EdgeConv
 from checkerpose_tpu.models.init_net import InitNet
 from checkerpose_tpu.models.layers import upsample_bilinear_2x
@@ -161,6 +160,11 @@ class PoseNet(nn.Module):
     def num_refine_steps(self) -> int:
         return self.res_log2 - 3
 
+    def output_res_log2(self, stage: Optional[int]) -> int:
+        """Resolution of the emitted x_id/y_id: 8 doubled once per active
+        refinement stage."""
+        return 3 + (self.num_refine_steps if stage is None else stage)
+
     @nn.compact
     def __call__(self, img, knn_idx, p3d_normed=None, stage: Optional[int] = None,
                  train: bool = False):
@@ -192,7 +196,6 @@ class PoseNet(nn.Module):
         x_id = _hard_ids(x_logits)
         y_id = _hard_ids(y_logits)
 
-        feat_dims = BACKBONE_FEAT_DIMS[self.backbone_name]
         img_feat = feats[-1]
         for i in range(num_active):
             if i > 0:

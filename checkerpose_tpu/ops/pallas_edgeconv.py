@@ -17,8 +17,11 @@ Two TPU-native tricks:
 BN folding (inference): scale = gamma / sqrt(var + eps),
 bias = beta - mean * scale.
 
-Use `edgeconv_fused(...)` -- it falls back to the pure-XLA reference path on
-non-TPU backends (and under `interpret=True` for tests).
+Entry points: `FusedEdgeConvParams` (precomputed per-layer constants,
+callable), `edgeconv_fused_pallas` (raw kernel), `edgeconv_reference`
+(pure-XLA same-math reference used by the parity tests). On non-TPU
+backends the kernel runs in Pallas interpret mode (slow but correct) --
+models/graph.EdgeConv's normal XLA path is the production fallback there.
 """
 from __future__ import annotations
 
@@ -100,7 +103,11 @@ class FusedEdgeConvParams:
                  interpret: bool = False):
         self.interpret = interpret
         N, K = knn_idx.shape
+        # tile_n must divide N (grid tiling); fall back to the largest
+        # divisor of N <= tile_n instead of asserting (npoint=192 etc.)
         tile_n = min(tile_n, N)
+        while N % tile_n != 0:
+            tile_n -= 1
         self.tile_n = tile_n
         self.slope = float(slope)
         self.sel = _selection_matrices(np.asarray(knn_idx), tile_n, dtype)
