@@ -103,6 +103,33 @@ class CropDataset:
             "valid": np.float32(0.0),
         }
 
+    def _choose_bbox(self, s: Sample) -> np.ndarray:
+        """Train: jittered GT bbox; eval: padded detector/GT bbox. One place
+        for all three item paths (python, native single, native batch)."""
+        if self.is_train:
+            return geometry.aug_bbox(s.bbox_visib, self.padding_ratio, self.rng)
+        base = s.detect_bbox if self.use_detections else s.bbox_visib
+        return geometry.padding_bbox(base, self.padding_ratio)
+
+    def _sample_dict(self, s: Sample, image, mask_visib, mask_full, bbox,
+                     valid: float, im_w: int, im_h: int) -> Dict[str, np.ndarray]:
+        """Assemble the per-item dict shared by every load path."""
+        p3d = self.p3d_table[s.obj_id] if self.p3d_table else self.p3d
+        proj_xy, _ = geometry.project_pts(p3d, s.cam_K, s.R, s.t)
+        final = geometry.final_bbox(bbox, self.resize_method, im_w, im_h)
+        return {
+            "image": image, "mask_visib": mask_visib, "mask_full": mask_full,
+            "R": s.R.astype(np.float32), "t": s.t.astype(np.float32),
+            "bbox": final.astype(np.float32),
+            "cam_K": s.cam_K.astype(np.float32),
+            "proj_xy": proj_xy.astype(np.float32),
+            "obj_id": np.int32(s.obj_id),
+            "obj_idx": np.int32(self.obj_id_to_idx[s.obj_id]
+                                if self.obj_id_to_idx else 0),
+            "scene_id": np.int32(s.scene_id), "im_id": np.int32(s.im_id),
+            "valid": np.float32(valid),
+        }
+
     def _read_sample(self, s: Sample):
         """(rgb, mask_visib, mask_full) from the frame cache when present,
         else cv2 decode. lm_imgn samples carry a depth_path instead of mask
@@ -156,60 +183,25 @@ class CropDataset:
                 or self.rng.random() < self.change_bg_prob):
             img = self._replace_bg(img, mask_full)
 
-        p3d = self.p3d_table[s.obj_id] if self.p3d_table else self.p3d
-        proj_xy, _ = geometry.project_pts(p3d, s.cam_K, s.R, s.t)
-
-        if self.is_train:
-            bbox = geometry.aug_bbox(s.bbox_visib, self.padding_ratio, self.rng)
-        else:
-            base = s.detect_bbox if self.use_detections else s.bbox_visib
-            bbox = geometry.padding_bbox(base, self.padding_ratio)
-
+        bbox = self._choose_bbox(s)
         roi_img = get_roi_np(img, bbox, self.crop_size_img, "linear", self.resize_method)
         roi_mv = get_roi_np(mask_visib, bbox, self.crop_size_gt, "nearest", self.resize_method)
         roi_mf = get_roi_np(mask_full, bbox, self.crop_size_gt, "nearest", self.resize_method)
-        final = geometry.final_bbox(bbox, self.resize_method, img.shape[1], img.shape[0])
-
-        return {
-            "image": np.ascontiguousarray(roi_img),             # uint8 HWC
-            "mask_visib": roi_mv.astype(np.float32) / 255.0,
-            "mask_full": roi_mf.astype(np.float32) / 255.0,
-            "R": s.R.astype(np.float32), "t": s.t.astype(np.float32),
-            "bbox": final.astype(np.float32),
-            "cam_K": s.cam_K.astype(np.float32),
-            "proj_xy": proj_xy.astype(np.float32),
-            "obj_id": np.int32(s.obj_id),
-            "obj_idx": np.int32(self.obj_id_to_idx[s.obj_id] if self.obj_id_to_idx else 0),
-            "scene_id": np.int32(s.scene_id), "im_id": np.int32(s.im_id),
-            "valid": np.float32(1.0),
-        }
+        return self._sample_dict(
+            s, np.ascontiguousarray(roi_img),               # uint8 HWC
+            roi_mv.astype(np.float32) / 255.0,
+            roi_mf.astype(np.float32) / 255.0,
+            bbox, 1.0, img.shape[1], img.shape[0])
 
     def _native_item(self, s: Sample) -> Dict[str, np.ndarray]:
         """Single-call C++ decode + square-crop + resize (exact cv2 parity,
         see native/loadercore.cpp)."""
         from checkerpose_tpu.data import native_loader
-        if self.is_train:
-            bbox = geometry.aug_bbox(s.bbox_visib, self.padding_ratio, self.rng)
-        else:
-            base = s.detect_bbox if self.use_detections else s.bbox_visib
-            bbox = geometry.padding_bbox(base, self.padding_ratio)
+        bbox = self._choose_bbox(s)
         img, mf, mv, (w, h) = native_loader.load_sample(
             s.rgb_path, s.mask_path, s.mask_visib_path,
             bbox.astype(np.float64), self.crop_size_img, self.crop_size_gt)
-        p3d = self.p3d_table[s.obj_id] if self.p3d_table else self.p3d
-        proj_xy, _ = geometry.project_pts(p3d, s.cam_K, s.R, s.t)
-        final = geometry.final_bbox(bbox, self.resize_method, w, h)
-        return {
-            "image": img, "mask_visib": mv, "mask_full": mf,
-            "R": s.R.astype(np.float32), "t": s.t.astype(np.float32),
-            "bbox": final.astype(np.float32),
-            "cam_K": s.cam_K.astype(np.float32),
-            "proj_xy": proj_xy.astype(np.float32),
-            "obj_id": np.int32(s.obj_id),
-            "obj_idx": np.int32(self.obj_id_to_idx[s.obj_id] if self.obj_id_to_idx else 0),
-            "scene_id": np.int32(s.scene_id), "im_id": np.int32(s.im_id),
-            "valid": np.float32(1.0),
-        }
+        return self._sample_dict(s, img, mv, mf, bbox, 1.0, w, h)
 
     def supports_batch(self) -> bool:
         """True when whole batches can be assembled in ONE native call
@@ -243,14 +235,7 @@ class CropDataset:
                 batch_items[i] = self[int(indices[i])]
 
         if native_rows:
-            bboxes = []
-            for s in native_rows:
-                if self.is_train:
-                    bboxes.append(geometry.aug_bbox(s.bbox_visib,
-                                                    self.padding_ratio, self.rng))
-                else:
-                    base = s.detect_bbox if self.use_detections else s.bbox_visib
-                    bboxes.append(geometry.padding_bbox(base, self.padding_ratio))
+            bboxes = [self._choose_bbox(s) for s in native_rows]
             imgs, mf, mv, n_fail = native_loader.load_batch(
                 [s.rgb_path for s in native_rows],
                 [s.mask_path for s in native_rows],
@@ -264,25 +249,14 @@ class CropDataset:
                 if batch_items[i] is not None:
                     continue
                 b = bboxes[ni]
-                p3d = self.p3d_table[s.obj_id] if self.p3d_table else self.p3d
-                proj_xy, _ = geometry.project_pts(p3d, s.cam_K, s.R, s.t)
-                # image w/h only matter for final_bbox clipping under
-                # crop_resize; square methods ignore them
-                final = geometry.final_bbox(b, self.resize_method,
-                                            int(b[0] + b[2] + 1), int(b[1] + b[3] + 1))
-                valid = np.float32(1.0 if mv[ni].max() > 0 else 0.0)
-                batch_items[i] = {
-                    "image": imgs[ni], "mask_visib": mv[ni], "mask_full": mf[ni],
-                    "R": s.R.astype(np.float32), "t": s.t.astype(np.float32),
-                    "bbox": final.astype(np.float32),
-                    "cam_K": s.cam_K.astype(np.float32),
-                    "proj_xy": proj_xy.astype(np.float32),
-                    "obj_id": np.int32(s.obj_id),
-                    "obj_idx": np.int32(self.obj_id_to_idx[s.obj_id]
-                                        if self.obj_id_to_idx else 0),
-                    "scene_id": np.int32(s.scene_id), "im_id": np.int32(s.im_id),
-                    "valid": valid,
-                }
+                # failed decodes are zero-filled by the core and surface as
+                # an empty visib mask -> valid=0; image w/h only matter for
+                # final_bbox clipping under crop_resize (square methods
+                # ignore them)
+                batch_items[i] = self._sample_dict(
+                    s, imgs[ni], mv[ni], mf[ni], b,
+                    1.0 if mv[ni].max() > 0 else 0.0,
+                    int(b[0] + b[2] + 1), int(b[1] + b[3] + 1))
                 ni += 1
         return _stack(batch_items)
 

@@ -20,48 +20,10 @@ _DTYPES = {
 
 
 def load_ply_vertices(path: str) -> np.ndarray:
-    """Return (N, 3) float64 vertex positions."""
-    with open(path, "rb") as f:
-        fmt = None
-        counts = {}
-        props = []  # (element, name, dtype) in declaration order
-        cur_elem = None
-        while True:
-            line = f.readline().decode("ascii", "replace").strip()
-            if line.startswith("format"):
-                fmt = line.split()[1]
-            elif line.startswith("element"):
-                _, name, cnt = line.split()
-                counts[name] = int(cnt)
-                cur_elem = name
-            elif line.startswith("property"):
-                parts = line.split()
-                if parts[1] == "list":
-                    props.append((cur_elem, parts[-1], ("list", parts[2], parts[3])))
-                else:
-                    props.append((cur_elem, parts[2], parts[1]))
-            elif line == "end_header":
-                break
-            elif line == "":
-                raise ValueError(f"unexpected EOF in PLY header: {path}")
-
-        nv = counts.get("vertex", 0)
-        vprops = [(n, t) for e, n, t in props if e == "vertex"]
-
-        if fmt == "ascii":
-            rows = []
-            for _ in range(nv):
-                rows.append(f.readline().split())
-            arr = np.array(rows, np.float64)
-            cols = {n: i for i, (n, _) in enumerate(vprops)}
-            return arr[:, [cols["x"], cols["y"], cols["z"]]]
-
-        if fmt != "binary_little_endian":
-            raise NotImplementedError(f"PLY format {fmt}")
-        dt = np.dtype([(n, _DTYPES[t].__name__) for n, t in vprops
-                       if not isinstance(t, tuple)])
-        raw = np.frombuffer(f.read(dt.itemsize * nv), dtype=dt, count=nv)
-        return np.stack([raw["x"], raw["y"], raw["z"]], axis=1).astype(np.float64)
+    """Return (N, 3) float64 vertex positions (one parser: the vertex half
+    of `load_ply_mesh` -- keeping two copies of the header/decode logic let
+    them drift)."""
+    return load_ply_mesh(path)[0]
 
 
 def load_ply_mesh(path: str):

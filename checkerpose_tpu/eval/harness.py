@@ -53,10 +53,14 @@ def evaluate_init(net, knn_idx, variables, loader, crop_size_gt: int,
     for batch in loader:
         n_real = int(batch.pop("n_real", len(batch["image"])))
         out = ev(variables, batch)
-        accs_mask.append(np.asarray(out["acc_mask"])[:n_real])
-        accs_x.append(np.asarray(out["acc_x"])[:n_real])
-        accs_y.append(np.asarray(out["acc_y"])[:n_real])
-        bit_errs.append(np.asarray(out["bit_err"])[:n_real])
+        # dummy samples (valid=0: decode failure / missed detection) carry
+        # degenerate labels; keep them out of the means that gate the best
+        # checkpoint
+        keep = np.asarray(batch.get("valid", np.ones(n_real)))[:n_real] > 0.5
+        accs_mask.append(np.asarray(out["acc_mask"])[:n_real][keep])
+        accs_x.append(np.asarray(out["acc_x"])[:n_real][keep])
+        accs_y.append(np.asarray(out["acc_y"])[:n_real][keep])
+        bit_errs.append(np.asarray(out["bit_err"])[:n_real][keep])
     acc_mask = float(np.concatenate(accs_mask).mean())
     acc_x = float(np.concatenate(accs_x).mean())
     acc_y = float(np.concatenate(accs_y).mean())

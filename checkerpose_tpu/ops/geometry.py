@@ -158,8 +158,12 @@ def make_code_labels(proj_xy: Array, bbox: Array, crop_size_gt: int):
     out-of-roi if proj < bbox origin, or truncated pixel id >= S; ids clipped.
     """
     S = crop_size_gt
-    px_size = bbox[2].astype(jnp.float32) / S
-    py_size = bbox[3].astype(jnp.float32) / S
+    # a degenerate bbox (dummy sample for a decode failure / missed
+    # detection, data/dataset.py::dummy_item) must yield roi_bit=0 and id 0,
+    # not NaN ids (0/0) whose int cast is platform-defined
+    degenerate = (bbox[2] <= 0) | (bbox[3] <= 0)
+    px_size = jnp.where(degenerate, 1.0, bbox[2].astype(jnp.float32) / S)
+    py_size = jnp.where(degenerate, 1.0, bbox[3].astype(jnp.float32) / S)
     x_rel = (proj_xy[:, 0] - bbox[0]) / px_size
     y_rel = (proj_xy[:, 1] - bbox[1]) / py_size
     # numpy `.astype(int)` truncates toward zero; match it exactly.
@@ -167,7 +171,7 @@ def make_code_labels(proj_xy: Array, bbox: Array, crop_size_gt: int):
     y_id = jnp.trunc(y_rel).astype(jnp.int32)
     out1 = (proj_xy[:, 0] < bbox[0]) | (proj_xy[:, 1] < bbox[1])
     out2 = (x_id >= S) | (y_id >= S)
-    roi_bit = jnp.logical_not(out1 | out2).astype(jnp.float32)
+    roi_bit = jnp.logical_not(out1 | out2 | degenerate).astype(jnp.float32)
     x_id = jnp.clip(x_id, 0, S - 1)
     y_id = jnp.clip(y_id, 0, S - 1)
     return roi_bit, x_id, y_id

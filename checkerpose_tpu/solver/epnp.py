@@ -333,15 +333,6 @@ def project_so3(M: jnp.ndarray) -> jnp.ndarray:
 
     Horn's N built from S[a,b] solves max tr(R S); the nearest rotation to M
     solves max tr(R^T M) = max tr(R M^T), hence S = M^T."""
-    S = M.T
-    Sxx, Sxy, Sxz = S[0, 0], S[0, 1], S[0, 2]
-    Syx, Syy, Syz = S[1, 0], S[1, 1], S[1, 2]
-    Szx, Szy, Szz = S[2, 0], S[2, 1], S[2, 2]
-    N = jnp.array([
-        [Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx],
-        [Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz],
-        [Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy],
-        [Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz],
-    ])
+    N = _horn_matrix(M.T)
     _, evecs = jnp.linalg.eigh(N)
     return quat_to_rot(evecs[:, -1])

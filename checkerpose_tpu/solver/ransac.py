@@ -82,11 +82,14 @@ def ransac_pnp(p3d: jnp.ndarray, p2d: jnp.ndarray, valid: jnp.ndarray,
     idx = _sample_hypotheses(key, valid, num_hyp, sample_size)      # (H, S)
     h3d = p3d[idx]                                                   # (H, S, 3)
     h2d = p2d[idx]
-    ones = jnp.ones(idx.shape[:2])
+    # with fewer than sample_size valid points the sampler must include
+    # invalid indices -- weight them 0 so a 4-5-valid-point solve is a clean
+    # (if minimal) weighted EPnP rather than one polluted by garbage pairs
+    hw = valid[idx]
 
     # hypothesis solves use the eigh-free EPnP (inverse iteration): ~3x
     # cheaper with tens of thousands of minimal solves per batch
-    Rs, ts = jax.vmap(lambda a, b, w: epnp(a, b, K, w, use_eigh=False))(h3d, h2d, ones)
+    Rs, ts = jax.vmap(lambda a, b, w: epnp(a, b, K, w, use_eigh=False))(h3d, h2d, hw)
     errs = jax.vmap(lambda R, t: reproj_errors(R, t, p3d, p2d, K))(Rs, ts)  # (H, N)
     if soft_inlier_sigma > 0:
         scores = jnp.sum(jax.nn.sigmoid((reproj_thresh - errs) / soft_inlier_sigma)
@@ -189,12 +192,9 @@ def ransac_pnp(p3d: jnp.ndarray, p2d: jnp.ndarray, valid: jnp.ndarray,
             "num_inliers": jnp.sum(inliers), "success": success}
 
 
-def solve_poses_batched(p3d, p2d, valid, K, key, **kw):
-    """vmap of ransac_pnp over a batch of images.
-
-    p3d: (N, 3) shared keypoints or (B, N, 3); p2d: (B, N, 2);
-    valid: (B, N); K: (3,3) or (B, 3, 3). Returns dict of stacked outputs.
-    """
+@partial(jax.jit, static_argnames=("kw_items",))
+def _solve_poses_jit(p3d, p2d, valid, K, key, kw_items):
+    kw = dict(kw_items)
     B = p2d.shape[0]
     keys = jax.random.split(key, B)
     if p3d.ndim == 2:
@@ -203,3 +203,16 @@ def solve_poses_batched(p3d, p2d, valid, K, key, **kw):
         K = jnp.broadcast_to(K[None], (B, 3, 3))
     return jax.vmap(lambda a, b, v, k, kk: ransac_pnp(a, b, v, k, kk, **kw))(
         p3d, p2d, valid, K, keys)
+
+
+def solve_poses_batched(p3d, p2d, valid, K, key, **kw):
+    """vmap of ransac_pnp over a batch of images, jitted end-to-end (the
+    broadcast/split preamble was eager before -- ~0.4 s/op dispatch on this
+    host, CLAUDE.md env rule 4).
+
+    p3d: (N, 3) shared keypoints or (B, N, 3); p2d: (B, N, 2);
+    valid: (B, N); K: (3,3) or (B, 3, 3). Returns dict of stacked outputs.
+    """
+    return _solve_poses_jit(jnp.asarray(p3d), jnp.asarray(p2d),
+                            jnp.asarray(valid), jnp.asarray(K), key,
+                            tuple(sorted(kw.items())))

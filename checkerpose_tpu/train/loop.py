@@ -88,19 +88,23 @@ def run_training(*, state: TrainState, step_fns, loader: Iterable,
                   + f" eta={eta_h:.2f}h", flush=True)
 
         if step_no % test_freq == 0 or step_no == total_iteration:
-            cur = TrainState(params=sd["params"], batch_stats=sd["batch_stats"],
-                             opt_state=sd["opt_state"], step=step_no,
-                             best_score=best)
-            ckpt.save(cur)
+            # eval BEFORE the rolling save so the checkpoint carries the
+            # up-to-date best_score: the segmented-restart workflow (CLAUDE.md
+            # rule 6b) resumes from the rolling checkpoint, and a stale best
+            # there would let a later, worse model overwrite the best ckpt
             ev = eval_fn({"params": sd["params"],
                           "batch_stats": sd["batch_stats"]})
             writer.add_scalar("TESTDATA_ACC/ACC_test", ev["test_acc"], step_no)
             print(f"eval @ {step_no}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in ev.items()
                 if isinstance(v, (int, float))), flush=True)
-            if ev["test_acc"] > best:
-                best = ev["test_acc"]
-                cur.best_score = best
+            improved = ev["test_acc"] > best
+            best = max(best, ev["test_acc"])
+            cur = TrainState(params=sd["params"], batch_stats=sd["batch_stats"],
+                             opt_state=sd["opt_state"], step=step_no,
+                             best_score=best)
+            ckpt.save(cur)
+            if improved:
                 ckpt.save_best(cur)
 
     ckpt.wait()
