@@ -127,6 +127,24 @@ def build_test_loader(cfg: Dict, xyz: np.ndarray, batch_size: int = 16,
     return Loader(ds, batch_size, shuffle=False, drop_last=False, infinite=False), samples
 
 
+def attach_p3d(batch: Dict, p3dn: np.ndarray) -> Dict:
+    """Attach per-sample normalized keypoints to a batch: a stacked (O, N, 3)
+    multi-object table is gathered by obj_idx, a single-object (N, 3) array
+    is broadcast. One helper for every CLI (they had drifted into four
+    copies of two variants)."""
+    if p3dn.ndim == 3:
+        batch["p3d_normed"] = p3dn[batch["obj_idx"]]
+    else:
+        B = batch["image"].shape[0]
+        batch["p3d_normed"] = np.broadcast_to(p3dn[None], (B,) + p3dn.shape).copy()
+    return batch
+
+
+def with_p3d(loader, p3dn: np.ndarray):
+    for batch in loader:
+        yield attach_p3d(batch, p3dn)
+
+
 def object_diameter(cfg: Dict) -> float:
     info = load_models_info(cfg["bop_path"], cfg["dataset_name"], eval_models=False)
     return float(info[cfg["obj_id"]]["diameter"])

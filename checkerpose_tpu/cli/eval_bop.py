@@ -2,8 +2,9 @@
 
 Standalone equivalent of the reference's downstream scoring flow
 (`bop_toolkit/scripts/check_results_bop19.py` + `eval_bop19_pose.py` ->
-`eval_calc_errors.py` -> `eval_calc_scores.py`), minus VSD (the only metric
-requiring a depth renderer). Runs the error computation batched on device.
+`eval_calc_errors.py` -> `eval_calc_scores.py`), including VSD when test
+depth images + mesh faces are on disk (depth rendering via eval/renderer.py
+instead of the C++ bop_renderer). MSSD/MSPD run batched on device.
 
   python -m checkerpose_tpu.cli.eval_bop --csv result.csv \
       --bop_path <bop> --dataset lmo [--split test]
@@ -15,12 +16,40 @@ import json
 from collections import defaultdict
 
 import numpy as np
+
+from checkerpose_tpu.cli import common as _common  # noqa: F401  (sets the
+# persistent compile cache + platform override, CLAUDE.md env rule 5)
 import jax.numpy as jnp
 
 from checkerpose_tpu.data.bop_io import (load_models_info, model_ply_path,
                                          scan_bop_object)
 from checkerpose_tpu.data.ply import load_ply_vertices
 from checkerpose_tpu.eval import bop_scores as B
+
+
+def _eval_images(gt_by_im, targets_ntop, obj_id):
+    """(scene, im) keys to evaluate: ONLY the targeted images when a BOP19
+    targets file exists (official eval_calc_scores.py walks targets_org, so
+    untargeted test images must not enter the recall denominator), else all
+    images with GT."""
+    if targets_ntop:
+        return [k for k in gt_by_im if (k[0], k[1], obj_id) in targets_ntop]
+    return list(gt_by_im)
+
+
+def _gt_valid_official(gts, key, targets_ntop, obj_id):
+    """Per-GT validity. BOP19 (visib_gt_min = -1): the inst_count most-
+    visible GT instances are valid (eval_calc_scores.py:228-238); without a
+    targets file fall back to the visib_fract > 0.1 rule."""
+    if not targets_ntop:
+        return [s.visib_fract > 0.1 for s in gts]
+    n = int(targets_ntop.get((key[0], key[1], obj_id), 0))
+    order = sorted(range(len(gts)), key=lambda i: gts[i].visib_fract,
+                   reverse=True)
+    valid = [False] * len(gts)
+    for i in order[:max(n, 0)]:
+        valid[i] = True
+    return valid
 
 
 def _try_vsd(ests, gt_by_im, targets_ntop, obj_id, bop_path, dataset,
@@ -48,7 +77,9 @@ def _try_vsd(ests, gt_by_im, targets_ntop, obj_id, bop_path, dataset,
     for ei, r in enumerate(ests):
         ests_by_im[(r["scene_id"], r["im_id"])].append(ei)
     pair_errs = {}  # (ei, gt_id) -> list per tau
-    for key, gts in gt_by_im.items():
+    eval_keys = _eval_images(gt_by_im, targets_ntop, obj_id)
+    for key in eval_keys:
+        gts = gt_by_im[key]
         for ei in ests_by_im.get(key, []):
             r = ests[ei]
             gt0 = gts[0]
@@ -66,20 +97,29 @@ def _try_vsd(ests, gt_by_im, targets_ntop, obj_id, bop_path, dataset,
                     r["R"], r["t"], gt.R, gt.t, depth, gt.cam_K, verts, faces,
                     diameter, render_cache=render_cache,
                     est_key=("e", key, ei), gt_key=("g", key, gt_id))
+        # the caches never get cross-image hits; evicting after each image
+        # keeps RSS flat instead of holding every frame's float32 maps
+        # (multi-GB on ycbv-sized splits)
+        depth_cache.pop(key, None)
+        render_cache.clear()
 
     taus = B.VSD_TAUS
     recalls = []
     for ti in range(len(taus)):
         groups = []
-        for key, gts in gt_by_im.items():
+        for key in eval_keys:
+            gts = gt_by_im[key]
             g_e = [{"score": ests[ei]["score"],
                     "errors": {g: pair_errs[(ei, g)][ti]
                                for g in range(len(gts))
                                if (ei, g) in pair_errs}}
                    for ei in ests_by_im.get(key, [])]
+            # matching considers ALL estimates (official n_top = -1 for
+            # bop19); inst_count limits only which GTs are valid
             groups.append({"ests": g_e,
-                           "gt_valid": [s.visib_fract > 0.1 for s in gts],
-                           "n_top": targets_ntop.get((key[0], key[1], obj_id), 0)})
+                           "gt_valid": _gt_valid_official(gts, key,
+                                                          targets_ntop, obj_id),
+                           "n_top": -1})
         recalls.append(B.official_average_recall(groups, np.arange(0.05, 0.51, 0.05)))
     return float(np.mean(recalls))
 
@@ -165,9 +205,12 @@ def main(csv_path: str, bop_path: str, dataset: str, split: str = "test",
         ests_by_im = defaultdict(list)
         for ei, r in enumerate(ests):
             ests_by_im[(r["scene_id"], r["im_id"])].append(ei)
-        for key, gts in gt_by_im.items():
-            gt_valid = [s.visib_fract > 0.1 for s in gts]
-            n_top = targets_ntop.get((key[0], key[1], obj_id), 0)
+        for key in _eval_images(gt_by_im, targets_ntop, obj_id):
+            gts = gt_by_im[key]
+            # official semantics (eval_calc_scores.py): only targeted images
+            # count, the inst_count most-visible GTs are valid, and matching
+            # considers all estimates (n_top = -1)
+            gt_valid = _gt_valid_official(gts, key, targets_ntop, obj_id)
             e_idx = ests_by_im.get(key, [])
             g_m = [{"score": ests[ei]["score"],
                     "errors": {g: est_errors[ei][g][0] for g in est_errors[ei]}}
@@ -175,8 +218,8 @@ def main(csv_path: str, bop_path: str, dataset: str, split: str = "test",
             g_p = [{"score": ests[ei]["score"],
                     "errors": {g: est_errors[ei][g][1] for g in est_errors[ei]}}
                    for ei in e_idx]
-            groups_mssd.append({"ests": g_m, "gt_valid": gt_valid, "n_top": n_top})
-            groups_mspd.append({"ests": g_p, "gt_valid": gt_valid, "n_top": n_top})
+            groups_mssd.append({"ests": g_m, "gt_valid": gt_valid, "n_top": -1})
+            groups_mspd.append({"ests": g_p, "gt_valid": gt_valid, "n_top": -1})
 
         ar_mssd = B.official_average_recall(groups_mssd, B.MSSD_THRESHOLDS)
         ar_mspd = B.official_average_recall(groups_mspd, B.MSPD_THRESHOLDS)
@@ -189,18 +232,27 @@ def main(csv_path: str, bop_path: str, dataset: str, split: str = "test",
         }
         if ar_vsd is not None:
             rec["ar_vsd"] = ar_vsd
-            rec["ar"] = (ar_vsd + ar_mssd + ar_mspd) / 3.0
-        else:
-            rec["ar"] = 0.5 * (ar_mssd + ar_mspd)
         per_obj[obj_id] = rec
 
-    have_vsd = all("ar_vsd" in v for v in per_obj.values()) and per_obj
+    # the combined AR must aggregate the SAME metric set for every object:
+    # if any object lacks VSD (no depth/faces), all objects' "ar" fall back
+    # to mean(MSSD, MSPD) so per-object and overall numbers stay comparable
+    have_vsd = bool(per_obj) and all("ar_vsd" in v for v in per_obj.values())
+    for rec in per_obj.values():
+        rec["ar"] = ((rec["ar_vsd"] + rec["ar_mssd"] + rec["ar_mspd"]) / 3.0
+                     if have_vsd else 0.5 * (rec["ar_mssd"] + rec["ar_mspd"]))
     keys = ("ar_mssd", "ar_mspd", "ar") + (("ar_vsd",) if have_vsd else ())
-    overall = {k: float(np.mean([v[k] for v in per_obj.values()]))
-               for k in keys}
+    if per_obj:
+        overall = {k: float(np.mean([v[k] for v in per_obj.values()]))
+                   for k in keys}
+    else:
+        overall = {}
     note = ("official BOP19 matching; AR = mean(VSD, MSSD, MSPD)" if have_vsd
-            else "official BOP19 matching; VSD skipped (no test depth images "
-                 "or mesh faces on disk) -- AR averages MSSD+MSPD only")
+            else "official BOP19 matching; VSD unavailable for >=1 object "
+                 "(no test depth images or mesh faces on disk) -- AR "
+                 "averages MSSD+MSPD only, uniformly for all objects")
+    if not per_obj:
+        note = "no CSV estimates matched any GT of the split; nothing scored"
     report = {"per_object": per_obj, "overall": overall, "note": note}
     print(json.dumps(report, indent=2))
     return report

@@ -56,10 +56,7 @@ def main(cfg):
     p3dn = normed.astype(np.float32)
 
     def with_p3d(loader):
-        for batch in loader:
-            B = batch["image"].shape[0]
-            batch["p3d_normed"] = np.broadcast_to(p3dn[None], (B,) + p3dn.shape).copy()
-            yield batch
+        return common.with_p3d(loader, p3dn)
 
     # CSV-export filter parity (reference test.py:113-119): poses exported
     # to the BOP CSV are UNfiltered except for a hardcoded per-object list

@@ -43,21 +43,19 @@ def main(cfg):
     main_filter = {"default": "none", "full": "full", "visib": "visib"}[adx_type]
 
     def with_p3d(loader):
-        for batch in loader:
-            batch["p3d_normed"] = p3dn_stack[batch["obj_idx"]]
-            yield batch
+        return common.with_p3d(loader, p3dn_stack)
 
     per_obj = {}
     for obj_id in sorted_ids:
         name = id_to_name[obj_id]
         cfg_obj = dict(cfg)
         cfg_obj["obj_id"] = obj_id
-        loader, _ = common.build_test_loader(cfg_obj, p3d_table[obj_id],
+        # pass the FULL multi-object table: CropDataset's dict mode assigns
+        # obj_idx rows by sorted obj_id, matching the stacked training
+        # tables (no attribute poking needed)
+        loader, _ = common.build_test_loader(cfg_obj, dict(p3d_table),
                                              batch_size=int(cfg.get("test_batch_size", 16)),
                                              crop_gt=2 ** net.res_log2)
-        # swap in the multi-object p3d table so obj_idx rows match training
-        loader.ds.p3d_table = {k: np.asarray(v, np.float64) for k, v in p3d_table.items()}
-        loader.ds.obj_id_to_idx = {oid: i for i, oid in enumerate(sorted_ids)}
         # symmetric objects report the closest-symmetric rotation error
         # (reference test_lm.py:33-55 get_closest_rot)
         sym_rots = None
@@ -73,6 +71,10 @@ def main(cfg):
             p3d_table[obj_id], float(minfo[obj_id]["diameter"]),
             stage=net.num_refine_steps,
             use_adi=(name in cfg["symmetric_names"]),
+            # only main_filter is consumed here (unlike cli/test.py which
+            # reports all three); the default 3-mode sweep would triple the
+            # RANSAC work across 13 objects for discarded numbers
+            filter_modes=(main_filter,),
             main_filter=main_filter, sym_rots=sym_rots,
             num_hyp=int(cfg.get("pnp_num_hyp", 128)),
             soft_inlier_sigma=(0.5 if cfg.get("use_progressivex", False) else 0.0),

@@ -112,13 +112,11 @@ def main(cfg):
     p3dn = normed.astype(np.float32)
 
     def extra_batch(batch):
-        B = batch["image"].shape[0]
-        batch["p3d_normed"] = np.broadcast_to(p3dn[None], (B,) + p3dn.shape).copy()
-        return batch
+        return common.attach_p3d(batch, p3dn)
 
     def eval_fn(variables):
         rep = evaluate_pipeline(
-            net, knn, variables, _with_p3d(val_loader_factory(), p3dn), xyz,
+            net, knn, variables, common.with_p3d(val_loader_factory(), p3dn), xyz,
             diameter, stage=net.num_refine_steps,
             use_adi=cfg.get("is_symmetric", False),
             filter_modes=("visib",), main_filter="visib")
@@ -143,12 +141,6 @@ def main(cfg):
     writer.close()
     return state
 
-
-def _with_p3d(loader, p3dn):
-    for batch in loader:
-        B = batch["image"].shape[0]
-        batch["p3d_normed"] = np.broadcast_to(p3dn[None], (B,) + p3dn.shape).copy()
-        yield batch
 
 
 def parse_args():

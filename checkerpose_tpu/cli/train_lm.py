@@ -87,13 +87,10 @@ def main(cfg):
     minfo = load_models_info(cfg["bop_path"], cfg["dataset_name"])
 
     def extra_batch(batch):
-        batch["p3d_normed"] = p3dn_stack[batch["obj_idx"]]
-        return batch
+        return common.attach_p3d(batch, p3dn_stack)
 
     def with_p3d(loader):
-        for batch in loader:
-            batch["p3d_normed"] = p3dn_stack[batch["obj_idx"]]
-            yield batch
+        return common.with_p3d(loader, p3dn_stack)
 
     def eval_fn(variables):
         accs = {}

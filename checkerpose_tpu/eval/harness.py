@@ -61,6 +61,12 @@ def evaluate_init(net, knn_idx, variables, loader, crop_size_gt: int,
         accs_x.append(np.asarray(out["acc_x"])[:n_real][keep])
         accs_y.append(np.asarray(out["acc_y"])[:n_real][keep])
         bit_errs.append(np.asarray(out["bit_err"])[:n_real][keep])
+    if not accs_mask or not np.concatenate(accs_mask).size:
+        # empty/missing val split (scan_bop_object returns [] silently):
+        # report a neutral zero score instead of crashing the training run
+        # at its first eval
+        return {"test_acc": 0.0, "acc_mask": 0.0, "acc_x": 0.0, "acc_y": 0.0,
+                "bit_err": np.zeros(1 + 2 * net.res_log2), "n_images": 0}
     acc_mask = float(np.concatenate(accs_mask).mean())
     acc_x = float(np.concatenate(accs_x).mean())
     acc_y = float(np.concatenate(accs_y).mean())
@@ -200,6 +206,15 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
         n_images += n_real
 
     report: Dict = {"n_images": n_images, "poses": poses}
+    if n_images == 0:
+        # empty test loader: neutral report, not a np.concatenate crash
+        for mode in filter_modes:
+            report[mode] = {k: 0.0 for k in ("adx02", "adx05", "adx10",
+                                             "auc_posecnn", "mean_re_deg",
+                                             "mean_te_mm")}
+        report["seg_acc"] = report["seg_iou"] = 0.0
+        report["test_acc"] = 0.0
+        return report
     for mode in filter_modes:
         errs = np.concatenate(per_mode_errs[mode])
         res_m = {}

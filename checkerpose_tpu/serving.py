@@ -34,7 +34,13 @@ class ServingPipeline:
         self.knn_idx = knn_idx
         self.variables = variables
         self.stage = stage if stage is not None else net.num_refine_steps
-        self.res = 2 ** (3 + self.stage)
+        # the net declares its id resolution (the woProg ablation emits
+        # full-res ids at every stage; decoding them on the 2**(3+stage)
+        # grid would scale p2d off the bbox) -- same hook the eval harness
+        # uses
+        self.res = 2 ** (net.output_res_log2(self.stage)
+                         if hasattr(net, "output_res_log2")
+                         else (3 + self.stage))
         self.p3d = jnp.asarray(p3d_xyz, jnp.float32)
         self.p3dn = jnp.asarray(p3d_normed, jnp.float32)
         self.num_hyp = num_hyp

@@ -21,6 +21,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <algorithm>
 #include <vector>
 #include <string>
 #include <thread>
@@ -135,6 +136,8 @@ bool load_image(const char* path, Image* out, bool gray) {
 // Returns crop origin (x1, y1) and side; src reads go through this mapping.
 struct SquareCrop {
   int x1, y1, side;
+  int w, h;  // copy extent int(x2)-int(x1) / int(y2)-int(y1): can be side-1
+             // after truncation; the remainder stays ZERO like the reference
 };
 
 SquareCrop square_crop(const double* bbox) {
@@ -150,6 +153,12 @@ SquareCrop square_crop(const double* bbox) {
   sc.x1 = (int)x1;  // C cast truncates toward zero, matching numpy int()
   sc.y1 = (int)y1;
   sc.side = (int)(bh > bw ? bh : bw);
+  // reference parity (bop_dataset_pytorch.py:83-89 / ops/crop.py): the copy
+  // region is int(x2)-int(x1) x int(y2)-int(y1) inside the side x side
+  // canvas; truncation can make it one col/row smaller than `side`, and
+  // that last col/row must read 0 even where the image has pixels
+  sc.w = (int)x2 - sc.x1;
+  sc.h = (int)y2 - sc.y1;
   return sc;
 }
 
@@ -157,22 +166,24 @@ inline uint8_t read_px(const Image& im, const SquareCrop& sc, int cy, int cx, in
   // coordinates are within the virtual zero-padded square crop
   int sx = sc.x1 + cx, sy = sc.y1 + cy;
   if (sx < 0 || sy < 0 || sx >= im.w || sy >= im.h || cx < 0 || cy < 0 ||
-      cx >= sc.side || cy >= sc.side)
+      cx >= sc.w || cy >= sc.h || cx >= sc.side || cy >= sc.side)
     return 0;
   return im.data[((size_t)sy * im.w + sx) * im.c + ch];
 }
 
-// Materialize the zero-padded square crop: rows that intersect the image are
-// memcpy'd, everything else is zero. Returns side x side x C contiguous.
+// Materialize the zero-padded square crop: rows that intersect the image AND
+// the reference's copy region are memcpy'd, everything else is zero.
+// Returns side x side x C contiguous.
 void materialize_crop(const Image& im, const SquareCrop& sc,
                       std::vector<uint8_t>* buf) {
   int C = im.c, side = sc.side;
   buf->assign((size_t)side * side * C, 0);
   int cx0 = sc.x1 < 0 ? -sc.x1 : 0;                 // first crop col inside image
   int sx0 = sc.x1 < 0 ? 0 : sc.x1;                  // matching image col
-  int ncols = std::min(im.w - sx0, side - cx0);
+  int ncols = std::min({im.w - sx0, side - cx0, sc.w - cx0});
   if (ncols <= 0) return;
-  for (int cy = 0; cy < side; ++cy) {
+  int nrows = std::min(sc.h, side);
+  for (int cy = 0; cy < nrows; ++cy) {
     int sy = sc.y1 + cy;
     if (sy < 0 || sy >= im.h) continue;
     memcpy(buf->data() + ((size_t)cy * side + cx0) * C,

@@ -22,6 +22,11 @@ def synth(tmp_path_factory):
     [250., 150., 180., 140.],
     [-40., -30., 200., 260.],    # off top-left
     [500., 380., 220., 160.],    # off bottom-right
+    [0., 10., 100., 31.],        # squaring puts the corner at -24.5; toward-
+                                 # zero truncation shrinks the copy region to
+                                 # side-1 rows -- the reference zero-pads the
+                                 # last row even where the image has pixels
+    [3., -9., 121., 60.],        # same with an odd long side (h = side-1)
 ])
 def test_native_matches_cv2(synth, bbox):
     from checkerpose_tpu.ops.crop import get_roi_np
