@@ -75,9 +75,14 @@ def main():
             seg_mask=jax.nn.sigmoid(out["seg_logits"][..., 0]), check_seg=True)
         return p2d, valid
 
+    # solver runs the low-latency FAST_PROFILE (64 hyp, no re-seed, 5 GN
+    # iters) -- full ADD(-S)@0.1d recovery at reference-level 2% bit noise,
+    # tests/test_oracle_noise.py::test_decode_solve_fast_profile_at_reference_noise
+    from checkerpose_tpu.solver.ransac import FAST_PROFILE
+
     def fn(variables, images_u8, bbox, p3d_kp, p3d_normed, key):
         p2d, valid = stage1(variables, images_u8, bbox, p3d_normed)
-        sol = solve_poses_batched(p3d_kp, p2d, valid, K, key, num_hyp=128)
+        sol = solve_poses_batched(p3d_kp, p2d, valid, K, key, **FAST_PROFILE)
         return sol["R"], sol["t"], sol["num_inliers"]
     images = jnp.asarray(rng.integers(0, 255, (BATCH, 256, 256, 3)), jnp.uint8)
     bbox = jnp.tile(jnp.asarray([50., 60., 130., 130.]), (BATCH, 1))

@@ -20,16 +20,17 @@ import numpy as np
 
 from checkerpose_tpu.eval.decode import ids_to_correspondences
 from checkerpose_tpu.ops import crop
-from checkerpose_tpu.solver.ransac import solve_poses_batched
+from checkerpose_tpu.solver.ransac import FAST_PROFILE, solve_poses_batched
 
 
 class ServingPipeline:
     def __init__(self, net, knn_idx, variables, p3d_xyz, p3d_normed, *,
-                 stage: Optional[int] = None, num_hyp: int = 128,
+                 stage: Optional[int] = None, num_hyp: Optional[int] = None,
                  reproj_thresh: float = 2.0, soft_inlier_sigma: float = 0.0,
                  coherence_weight: float = 0.0,
                  check_seg: bool = True, discard_bd_pixel: int = 0,
-                 fused_edgeconv: bool = False):
+                 fused_edgeconv: bool = False,
+                 solver_kw: Optional[dict] = None):
         self.net = net
         self.knn_idx = knn_idx
         self.variables = variables
@@ -43,7 +44,14 @@ class ServingPipeline:
                          else (3 + self.stage))
         self.p3d = jnp.asarray(p3d_xyz, jnp.float32)
         self.p3dn = jnp.asarray(p3d_normed, jnp.float32)
-        self.num_hyp = num_hyp
+        # solver defaults: the low-latency FAST_PROFILE (accuracy-gated by
+        # tests/test_oracle_noise.py); an explicit num_hyp or solver_kw
+        # overrides per key
+        self.solver_kw = dict(FAST_PROFILE)
+        if num_hyp is not None:
+            self.solver_kw["num_hyp"] = num_hyp
+        if solver_kw:
+            self.solver_kw.update(solver_kw)
         self.reproj_thresh = reproj_thresh
         self.soft_inlier_sigma = soft_inlier_sigma
         self.coherence_weight = coherence_weight
@@ -89,10 +97,10 @@ class ServingPipeline:
         p2d, valid = self._stage1(self.variables, jnp.asarray(images_u8),
                                   jnp.asarray(bboxes, jnp.float32), p3dn_b)
         sol = solve_poses_batched(self.p3d, p2d, valid, jnp.asarray(cam_K),
-                                  key, num_hyp=self.num_hyp,
-                                  reproj_thresh=self.reproj_thresh,
+                                  key, reproj_thresh=self.reproj_thresh,
                                   soft_inlier_sigma=self.soft_inlier_sigma,
-                                  coherence_weight=self.coherence_weight)
+                                  coherence_weight=self.coherence_weight,
+                                  **self.solver_kw)
         return sol
 
     def stream(self, batches, key, depth: int = 2):

@@ -30,6 +30,14 @@ import jax.numpy as jnp
 
 from checkerpose_tpu.solver.epnp import epnp, refine_pose_gn, reproj_errors
 
+# Low-latency serving profile (~2.3x cheaper than the defaults at batch 64,
+# BENCH.md solver sweep): half the hypothesis budget, no EPnP re-seed (it
+# only rescues a poor best hypothesis -- with >= 64 hypotheses it essentially
+# never wins), shorter GN polish. Accuracy-gated by
+# tests/test_oracle_noise.py::test_decode_solve_fast_profile_at_reference_noise
+# and tests/test_solver.py::test_ransac_fast_profile.
+FAST_PROFILE = dict(num_hyp=64, refine_iters=5, reseed=False, n_backtrack=2)
+
 
 def _sample_hypotheses(key, valid, num_hyp: int, sample_size: int):
     """Sample `num_hyp` index sets of `sample_size` from valid points.

@@ -101,3 +101,40 @@ def test_decode_solve_under_bit_noise(flip_rate, min_adx10):
     if flip_rate <= 0.05:
         # within-spec corruption: poses are not merely "passing" but tight
         assert float(np.median(adx)) < 0.02 * diameter
+
+
+def test_decode_solve_fast_profile_at_reference_noise():
+    """The low-latency serving profile (solver.ransac.FAST_PROFILE: 64
+    hypotheses, no EPnP re-seed, 5 GN iters, 2 backtrack candidates) must
+    hold full ADD(-S)@0.1d recovery at reference-level bit corruption (2%):
+    this is the accuracy evidence behind bench.py/ServingPipeline using the
+    fast profile by default."""
+    from checkerpose_tpu.solver.ransac import FAST_PROFILE
+    p3d, diameter, scenes = _scenes()
+    rng = np.random.default_rng(11)
+    p2d_b, valid_b = [], []
+    for (Q, t, bbox, roi, x_id, y_id) in scenes:
+        xc = np.asarray(ids_to_codes(jnp.asarray(x_id), L))
+        yc = np.asarray(ids_to_codes(jnp.asarray(y_id), L))
+        xc = np.abs(xc - (rng.random(xc.shape) < 0.02))
+        yc = np.abs(yc - (rng.random(yc.shape) < 0.02))
+        x_noisy = np.asarray(codes_to_ids(jnp.asarray(xc, jnp.int32)))
+        y_noisy = np.asarray(codes_to_ids(jnp.asarray(yc, jnp.int32)))
+        p2d, valid = ids_to_correspondences(
+            jnp.asarray(x_noisy)[None], jnp.asarray(y_noisy)[None],
+            jnp.asarray(roi)[None], jnp.asarray(bbox, jnp.float32)[None],
+            crop_size_gt=RES)
+        p2d_b.append(np.asarray(p2d)[0])
+        valid_b.append(np.asarray(valid)[0])
+    cell = float(np.mean([s[2][2] for s in scenes])) / RES
+    sol = solve_poses_batched(
+        jnp.asarray(p3d), jnp.asarray(np.stack(p2d_b)),
+        jnp.asarray(np.stack(valid_b)), jnp.asarray(K),
+        jax.random.PRNGKey(0), reproj_thresh=cell, **FAST_PROFILE)
+    R_gt = jnp.asarray(np.stack([s[0] for s in scenes]), jnp.float32)
+    t_gt = jnp.asarray(np.stack([s[1] for s in scenes]), jnp.float32)
+    errs = M.batched_pose_errors(sol["R"], sol["t"], R_gt, t_gt,
+                                 jnp.asarray(p3d), use_adi=False)
+    adx = np.asarray(errs["adx"])
+    assert float((adx < 0.10 * diameter).mean()) == 1.0, adx
+    assert float(np.median(adx)) < 0.02 * diameter
