@@ -118,6 +118,24 @@ def test_csv_writer(tmp_path):
     assert len(lines) == 4 and lines[0].startswith("scene_id")
 
 
+def test_merge_csv_cli(tmp_path, monkeypatch):
+    """CLI parity with reference tools_for_BOP/merge_csv.py: glob *.csv in
+    --input_dir, concat into --output_fn (excluding a pre-existing output)."""
+    from checkerpose_tpu.cli import merge_csv as cli_merge
+
+    write_csv(str(tmp_path), "objA", 5, [1], [10], [np.eye(3)], [np.ones(3)], [1.0])
+    write_csv(str(tmp_path), "objB", 6, [3], [1], [np.eye(3)], [np.ones(3)], [0.5])
+    monkeypatch.setattr("sys.argv", ["merge_csv", "--input_dir", str(tmp_path),
+                                     "--output_fn", "all.csv"])
+    cli_merge.main()
+    lines = open(tmp_path / "all.csv").read().strip().split("\n")
+    assert len(lines) == 3 and lines[0].startswith("scene_id")
+    # idempotent: rerunning must not fold the previous output into itself
+    cli_merge.main()
+    lines = open(tmp_path / "all.csv").read().strip().split("\n")
+    assert len(lines) == 3
+
+
 # ---------------------------------------------------------------------------
 # official BOP19 matching (pose_matching.py semantics), round-2 item 6
 # ---------------------------------------------------------------------------
