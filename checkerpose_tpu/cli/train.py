@@ -38,8 +38,10 @@ def build_pose_net(cfg, npoint: int) -> PoseNet:
 
 
 def load_pretrained_init(cfg, knn, crop_img: int):
-    """Load the best pretrained InitNet params from init_pretrained_root
-    (reference `train.py:204-218`)."""
+    """Load the LATEST pretrained InitNet params from init_pretrained_root
+    (reference `train.py:213-215` grafts `get_checkpoint` = the max-numbered
+    checkpoint, not the best-scoring one); falls back to the best checkpoint
+    when only a `best/` dir survives."""
     root = cfg.get("init_pretrained_root")
     if not root:
         return None
@@ -57,10 +59,10 @@ def load_pretrained_init(cfg, knn, crop_img: int):
     st = create_init_state(init_net, knn, crop_img, opt)
     mgr = CheckpointManager(ckpt_dir)
     try:
-        st = mgr.restore(st, best=True)
+        st = mgr.restore(st)
     except FileNotFoundError:
         try:
-            st = mgr.restore(st)
+            st = mgr.restore(st, best=True)
         except FileNotFoundError:
             print(f"no init checkpoint under {ckpt_dir}; training from scratch")
             return None
