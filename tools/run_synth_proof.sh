@@ -22,13 +22,46 @@ step_of() {  # latest checkpoint step in dir $1
   ls "$1" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1
 }
 
+# Run "$@" under a dead-claim watchdog. The axon tunnel occasionally loses
+# the chip grant (observed twice on 2026-08-17): the client blocks forever in
+# a futex with ZERO further CPU-time growth while holding the claim, which
+# also wedges every later client. Symptom-targeted cure: poll the child's
+# cumulative CPU jiffies; if they advance < ~2s across 5 consecutive 60s
+# polls, kill -9 the child (the caller's retry loop relaunches and resumes
+# from the orbax checkpoint). Normal training burns far more CPU than that
+# even while waiting on the TPU; compiles burn a full core.
+run_watchdogged() {
+  "$@" &
+  local pid=$! stalls=0 prev=0
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 60
+    local stat cpu
+    stat=$(cat /proc/$pid/stat 2>/dev/null) || break
+    set -- $stat
+    cpu=$(( ${14} + ${15} ))   # utime + stime, jiffies
+    if [ $(( cpu - prev )) -lt 200 ]; then
+      stalls=$(( stalls + 1 ))
+    else
+      stalls=0
+    fi
+    prev=$cpu
+    if [ "$stalls" -ge 5 ]; then
+      echo "WATCHDOG: pid $pid CPU stalled ${stalls} min — dead TPU claim, killing" >&2
+      kill -9 "$pid"
+      wait "$pid" 2>/dev/null
+      return 1
+    fi
+  done
+  wait "$pid"
+}
+
 while true; do
   cur=$(step_of experiments/checkpoints/init_gnn2_hrnetw18_npt512_synth/obj01)
   cur=${cur:-0}
   [ "$cur" -ge "$PRETRAIN_TOTAL" ] && break
   tgt=$((cur + SEG)); [ "$tgt" -gt "$PRETRAIN_TOTAL" ] && tgt=$PRETRAIN_TOTAL
   echo "=== pretrain segment -> $tgt (from $cur)" >&2
-  nice -n -5 python -u -m checkerpose_tpu.cli.pretrain --cfg "$PCFG" \
+  run_watchdogged nice -n -5 python -u -m checkerpose_tpu.cli.pretrain --cfg "$PCFG" \
     --obj_name obj01 --load_checkpoint --total_iteration "$tgt" \
     --test_freq "$TEST_FREQ" \
     || { echo "pretrain segment failed" >&2; sleep 10; }
@@ -42,11 +75,11 @@ while true; do
   tgt=$((cur + SEG)); [ "$tgt" -gt "$TRAIN_TOTAL" ] && tgt=$TRAIN_TOTAL
   echo "=== train segment -> $tgt (from $cur)" >&2
   if [ "$cur" -eq 0 ]; then
-    nice -n -5 python -u -m checkerpose_tpu.cli.train --cfg "$TCFG" \
+    run_watchdogged nice -n -5 python -u -m checkerpose_tpu.cli.train --cfg "$TCFG" \
       --obj_name obj01 --total_iteration "$tgt" --test_freq "$TEST_FREQ" \
       || { echo "train segment failed" >&2; sleep 10; }
   else
-    nice -n -5 python -u -m checkerpose_tpu.cli.train --cfg "$TCFG" \
+    run_watchdogged nice -n -5 python -u -m checkerpose_tpu.cli.train --cfg "$TCFG" \
       --obj_name obj01 --load_checkpoint --total_iteration "$tgt" \
       --test_freq "$TEST_FREQ" \
       || { echo "train segment failed" >&2; sleep 10; }
@@ -55,6 +88,6 @@ done
 echo "=== train complete at $TRAIN_TOTAL" >&2
 
 echo "=== final test" >&2
-nice -n -5 python -u -m checkerpose_tpu.cli.test --cfg "$TCFG" \
+run_watchdogged nice -n -5 python -u -m checkerpose_tpu.cli.test --cfg "$TCFG" \
   --obj_name obj01 --eval_output_path eval_output_synth
 echo "=== DONE" >&2
