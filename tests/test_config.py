@@ -1,0 +1,70 @@
+"""Config parser + shipped presets (reference `config_parser.py:1-39`)."""
+import glob
+import os
+
+import pytest
+
+from checkerpose_tpu.config import get_train_stage, parse_cfg, stage_start_steps
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PRESETS = sorted(glob.glob(os.path.join(REPO, "config", "*", "*.txt")))
+
+
+def test_grammar_and_coercions(tmp_path):
+    p = tmp_path / "c.txt"
+    p.write_text(
+        "#### comment\n"
+        "\n"
+        "type = GNN\n"                      # renamed to _type
+        "seg_visib_loss_weight = 1\n"        # *_weight -> float
+        "network_graph_leaky_slope = 0.2\n"  # whitelist -> float
+        "total_iteration = 380000\n"         # numeric -> int
+        "learning_rate2 = 0.00005\n"         # learning_rate* -> float
+        "train_obj_visible_theshold = 0.2\n"  # sic (reference typo) -> float
+        "padding_ratio = 1.5\n"
+        "load_checkpoint=False\n"
+        "use_peper_salt= True\n"
+        "resize_method = crop_square_resize\n")
+    cfg = parse_cfg(str(p))
+    assert cfg["_type"] == "GNN" and "type" not in cfg
+    assert cfg["seg_visib_loss_weight"] == 1.0 and isinstance(
+        cfg["seg_visib_loss_weight"], float)
+    assert isinstance(cfg["network_graph_leaky_slope"], float)
+    assert cfg["total_iteration"] == 380000 and isinstance(
+        cfg["total_iteration"], int)
+    assert cfg["learning_rate2"] == pytest.approx(5e-5)
+    assert cfg["train_obj_visible_theshold"] == pytest.approx(0.2)
+    assert cfg["padding_ratio"] == pytest.approx(1.5)
+    assert cfg["load_checkpoint"] is False
+    assert cfg["use_peper_salt"] is True
+    assert cfg["resize_method"] == "crop_square_resize"
+
+
+@pytest.mark.parametrize("path", PRESETS, ids=[
+    os.path.relpath(p, REPO) for p in PRESETS])
+def test_all_shipped_presets_parse(path):
+    cfg = parse_cfg(path)
+    # every preset must carry a consistent typed core
+    assert isinstance(cfg["total_iteration"], int)
+    assert isinstance(cfg["batch_size"], int)
+    assert isinstance(cfg["learning_rate"], float)
+    assert isinstance(cfg["padding_ratio"], float)
+    assert cfg["resize_method"] in (
+        "crop_resize", "crop_resize_by_warp_affine", "crop_square_resize")
+    assert isinstance(cfg["num_p3d_log2"], int)
+    res_key = "network_res_log2"
+    assert isinstance(cfg[res_key], int) and 3 <= cfg[res_key] <= 6
+    if "stage_start_steps_str" in cfg:
+        starts = stage_start_steps(cfg)
+        assert len(starts) == cfg[res_key] - 3
+        assert all(isinstance(s, int) for s in starts)
+
+
+def test_stage_helpers():
+    assert stage_start_steps({"stage_start_steps_str": "0_10_20"}) == (0, 10, 20)
+    assert stage_start_steps({}) is None
+    starts = (0, 10, 20)
+    assert get_train_stage(0, starts) == 1
+    assert get_train_stage(10, starts) == 2
+    assert get_train_stage(19, starts) == 2
+    assert get_train_stage(99999, starts) == 3
