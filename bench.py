@@ -59,15 +59,25 @@ def main():
     # (2) batched RANSAC-EPnP -- same structure as the eval harness and
     # ServingPipeline. (Measured equal to a single fused program: 192ms vs
     # 198ms at batch 64 with honest host-synced timing.)
-    # EdgeConv layers run the fused Pallas kernel (ops/pallas_edgeconv.py),
-    # parity-tested against the XLA path; ~1.35x faster forward on v5e
-    from checkerpose_tpu.models.fused import build_fused_registry, fused_edgeconv
-    registry = build_fused_registry(variables, knn)
+    # EdgeConv path: CHECKERPOSE_FUSED_EDGECONV=1 swaps in the fused Pallas
+    # kernel (ops/pallas_edgeconv.py, parity-tested; round-1: 1.35x over the
+    # then per-edge XLA path). Default is now the XLA split-matmul EdgeConv
+    # (models/graph.py): its per-NODE matmuls cost ~40x fewer FLOPs than the
+    # kernel's one-hot-gather matmul (whichever measures faster at round end
+    # stays the default).
+    import contextlib
+    import os
+    if os.environ.get("CHECKERPOSE_FUSED_EDGECONV", "0") == "1":
+        from checkerpose_tpu.models.fused import build_fused_registry, fused_edgeconv
+        registry = build_fused_registry(variables, knn)
+        edgeconv_ctx = lambda: fused_edgeconv(registry)  # noqa: E731
+    else:
+        edgeconv_ctx = contextlib.nullcontext
 
     @jax.jit
     def stage1(variables, images_u8, bbox, p3d_normed):
         imgs = crop.normalize_image(images_u8.astype(jnp.float32))
-        with fused_edgeconv(registry):
+        with edgeconv_ctx():
             out = net.apply(variables, imgs, knn, p3d_normed, stage=3, train=False)
         roi = (out["roi_logit"][..., 0] > 0.0).astype(jnp.float32)
         p2d, valid = ids_to_correspondences(

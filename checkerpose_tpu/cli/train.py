@@ -107,7 +107,8 @@ def main(cfg):
             seg_full_loss_weight=float(cfg.get("seg_full_loss_weight", 1.0)),
             use_pepper_salt=bool(cfg.get("use_peper_salt", True)),
             use_motion_blur=bool(cfg.get("use_motion_blur", True)),
-            color_aug_prob=float(cfg.get("color_aug_prob", 0.8)))
+            color_aug_prob=float(cfg.get("color_aug_prob", 0.8)),
+            aux_heatmap_weight=float(cfg.get("aux_heatmap_loss_weight", 0.0)))
 
     writer = MetricWriter(cfg["tensorboard_path"])
     diameter = common.object_diameter(cfg)

@@ -78,7 +78,8 @@ def main(cfg):
             use_pepper_salt=bool(cfg.get("use_peper_salt", True)),
             use_motion_blur=bool(cfg.get("use_motion_blur", True)),
             full_bits=full_bits,
-            color_aug_prob=float(cfg.get("color_aug_prob", 0.8)))
+            color_aug_prob=float(cfg.get("color_aug_prob", 0.8)),
+            aux_heatmap_weight=float(cfg.get("aux_heatmap_loss_weight", 0.0)))
 
     writer = MetricWriter(cfg["tensorboard_path"])
     sorted_ids = sorted(cfg["obj_ids"])

@@ -57,6 +57,14 @@ class InitNet(nn.Module):
         # refine gathers also rely on map resolution == 2**(3+step+1)
         B, H, W, N = x.shape
         g = x.transpose(0, 3, 1, 2).reshape(B, N, H * W)  # (B, N, H*W)
+        # expose the per-keypoint response maps for the optional auxiliary
+        # heatmap loss (train/steps.py): dense per-channel supervision that
+        # breaks the three-way backbone/conv1x1/decoder co-adaptation deadlock
+        # when no ImageNet-pretrained backbone is available (this environment
+        # has no timm weights; the reference always starts from ImageNet,
+        # model/backbone.py:39-50). Reading it is opt-in via
+        # mutable=["intermediates"]; inference paths are unaffected.
+        self.sow("intermediates", "resp_map", g)
 
         for i in range(self.num_graph_module):
             g = EdgeConv(64, self.graph_leaky_slope, dtype=self.dtype,

@@ -60,6 +60,32 @@ def device_augment_normalize(images_u8, key, use_pepper_salt, use_motion_blur,
     return crop.normalize_image(imgs)
 
 
+def _aux_heatmap_loss(resp, roi_bit, x_id, y_id, total_bits: int):
+    """Auxiliary dense supervision of the init net's per-keypoint 8x8
+    response maps: softmax-CE at the GT cell, masked by the in-RoI bit.
+
+    resp: (B, N, 64) conv1x1 response-map logits (InitNet sows them);
+    x_id/y_id: int ids at 2**total_bits resolution.
+
+    Why this exists: the reference always fine-tunes an ImageNet-pretrained
+    backbone (model/backbone.py:39-50); no pretrained weights exist in this
+    environment, and from scratch the three-way co-adaptation
+    backbone <-> conv1x1 <-> bit-decoder is measured to stall at chance
+    (tools/diag_overfit.py: x/y bits stay at ~0.5 even overfitting 64 fixed
+    images, while the same decoder trained on ideal features converges --
+    tools/diag_head_toy.py). The heatmap loss gives every keypoint channel a
+    well-posed dense gradient, bootstrapping the binding; it is OFF (weight 0)
+    in all reference-parity configs.
+    """
+    shift = total_bits - 3
+    x3 = (x_id >> shift).astype(jnp.int32)
+    y3 = (y_id >> shift).astype(jnp.int32)
+    cell = y3 * 8 + x3                                     # row-major h*W+w
+    ce = optax.softmax_cross_entropy_with_integer_labels(resp, cell)
+    m = roi_bit[..., 0]
+    return jnp.sum(ce * m) / jnp.clip(jnp.sum(m), 1.0, None)
+
+
 def _code_labels_bits(x_id, y_id, total_bits: int, use_bits: int):
     """ids at 2**total_bits resolution -> first `use_bits` MSB code planes
     (B, N, use_bits) f32. MSB-prefix slicing == the reference's
@@ -73,9 +99,10 @@ def make_pretrain_step(net, knn_idx, optimizer: optax.GradientTransformation,
                        crop_size_gt: int, *, mask_loss_type="BCE",
                        proj_loss_type="BCE", proj_bit_loss_weight=1.0,
                        use_pepper_salt=True, use_motion_blur=True,
-                       color_aug_prob=0.8):
+                       color_aug_prob=0.8, aux_heatmap_weight=0.0):
     total_bits = int(jnp.log2(crop_size_gt))
     res_log2 = net.res_log2
+    mutable = ["batch_stats"] + (["intermediates"] if aux_heatmap_weight else [])
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: Dict[str, Any], batch, key):
@@ -89,7 +116,7 @@ def make_pretrain_step(net, knn_idx, optimizer: optax.GradientTransformation,
         def loss_fn(params):
             (out_bits, _, _), updates = net.apply(
                 {"params": params, "batch_stats": state["batch_stats"]},
-                imgs, knn_b, train=True, mutable=["batch_stats"])
+                imgs, knn_b, train=True, mutable=mutable)
             roi_logit = out_bits[..., 0:1]
             x_logit = out_bits[..., 1:1 + res_log2]
             y_logit = out_bits[..., 1 + res_log2:]
@@ -97,9 +124,14 @@ def make_pretrain_step(net, knn_idx, optimizer: optax.GradientTransformation,
             l_x = masked_code_loss(x_logit, gt_x, roi_bit, proj_loss_type)
             l_y = masked_code_loss(y_logit, gt_y, roi_bit, proj_loss_type)
             total = l_roi + proj_bit_loss_weight * (l_x + l_y)
-            return total, (updates["batch_stats"],
-                           {"loss": total, "loss_roi": l_roi,
-                            "loss_x": l_x, "loss_y": l_y})
+            metrics = {"loss": total, "loss_roi": l_roi,
+                       "loss_x": l_x, "loss_y": l_y}
+            if aux_heatmap_weight:
+                resp = updates["intermediates"]["resp_map"][0]
+                l_aux = _aux_heatmap_loss(resp, roi_bit, x_id, y_id, total_bits)
+                total = total + aux_heatmap_weight * l_aux
+                metrics = dict(metrics, loss=total, loss_aux=l_aux)
+            return total, (updates["batch_stats"], metrics)
 
         (loss, (new_bs, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"])
@@ -159,7 +191,7 @@ def make_train_step(net, knn_idx, optimizer: optax.GradientTransformation,
                     stage: int, *, roi_loss_type="BCE", proj_loss_type="BCE",
                     seg_visib_loss_weight=1.0, seg_full_loss_weight=1.0,
                     use_pepper_salt=True, use_motion_blur=True,
-                    full_bits=False, color_aug_prob=0.8):
+                    full_bits=False, color_aug_prob=0.8, aux_heatmap_weight=0.0):
     """Full-pipeline train step; one compiled variant per curriculum stage.
 
     full_bits: the woProg ablation emits all res_log2 bits at every stage
@@ -167,6 +199,7 @@ def make_train_step(net, knn_idx, optimizer: optax.GradientTransformation,
     res_log2 = net.res_log2
     crop_size_gt = 2 ** res_log2
     active_bits = res_log2 if full_bits else 3 + stage
+    mutable = ["batch_stats"] + (["intermediates"] if aux_heatmap_weight else [])
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: Dict[str, Any], batch, key):
@@ -182,7 +215,7 @@ def make_train_step(net, knn_idx, optimizer: optax.GradientTransformation,
             out, updates = net.apply(
                 {"params": params, "batch_stats": state["batch_stats"]},
                 imgs, knn_b, p3d, stage=stage, train=True,
-                mutable=["batch_stats"])
+                mutable=mutable)
             l_roi = unmasked_code_loss(out["roi_logit"], roi_bit, roi_loss_type)
             l_x = masked_code_loss(out["x_logits"], gt_x, roi_bit, proj_loss_type)
             l_y = masked_code_loss(out["y_logits"], gt_y, roi_bit, proj_loss_type)
@@ -190,10 +223,15 @@ def make_train_step(net, knn_idx, optimizer: optax.GradientTransformation,
             l_sf = mask_loss_interpolate(out["seg_logits"][..., 1], batch["mask_full"])
             total = (l_roi + l_x + l_y + seg_visib_loss_weight * l_sv
                      + seg_full_loss_weight * l_sf)
-            return total, (updates["batch_stats"],
-                           {"loss": total, "loss_roi": l_roi, "loss_x": l_x,
-                            "loss_y": l_y, "loss_seg_visib": l_sv,
-                            "loss_seg_full": l_sf})
+            metrics = {"loss": total, "loss_roi": l_roi, "loss_x": l_x,
+                       "loss_y": l_y, "loss_seg_visib": l_sv,
+                       "loss_seg_full": l_sf}
+            if aux_heatmap_weight:
+                resp = updates["intermediates"]["init_net"]["resp_map"][0]
+                l_aux = _aux_heatmap_loss(resp, roi_bit, x_id, y_id, res_log2)
+                total = total + aux_heatmap_weight * l_aux
+                metrics = dict(metrics, loss=total, loss_aux=l_aux)
+            return total, (updates["batch_stats"], metrics)
 
         (loss, (new_bs, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"])

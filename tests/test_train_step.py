@@ -189,3 +189,73 @@ def test_curriculum_stage_transition(setup):
     # late-stage params exist from init and stay finite through early stages
     leaves = jax.tree_util.tree_leaves(sd["params"])
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
+
+def test_aux_heatmap_loss_values():
+    """Peaked-at-GT response maps -> small CE; peaked-elsewhere -> large;
+    out-of-roi keypoints are excluded from the mean."""
+    B, N, bits = 2, 5, 6
+    rng = np.random.default_rng(3)
+    x_id = rng.integers(0, 64, (B, N))
+    y_id = rng.integers(0, 64, (B, N))
+    cell = (y_id >> 3) * 8 + (x_id >> 3)
+    good = np.full((B, N, 64), -5.0, np.float32)
+    np.put_along_axis(good, cell[..., None], 5.0, axis=-1)
+    bad = np.full((B, N, 64), -5.0, np.float32)
+    np.put_along_axis(bad, ((cell + 17) % 64)[..., None], 5.0, axis=-1)
+    roi = np.ones((B, N, 1), np.float32)
+    l_good = float(steps._aux_heatmap_loss(jnp.asarray(good), jnp.asarray(roi),
+                                           jnp.asarray(x_id), jnp.asarray(y_id), bits))
+    l_bad = float(steps._aux_heatmap_loss(jnp.asarray(bad), jnp.asarray(roi),
+                                          jnp.asarray(x_id), jnp.asarray(y_id), bits))
+    assert l_good < 0.1 < 5.0 < l_bad
+    # masked keypoints do not contribute: zero the mask where bad peaks live
+    roi0 = roi.copy(); roi0[0] = 0.0
+    mixed = good.copy(); mixed[0] = bad[0]
+    l_mixed = float(steps._aux_heatmap_loss(jnp.asarray(mixed), jnp.asarray(roi0),
+                                            jnp.asarray(x_id), jnp.asarray(y_id), bits))
+    assert abs(l_mixed - l_good) < 0.1
+
+
+def test_pretrain_step_aux_heatmap(setup):
+    """aux_heatmap_weight wires the sown response maps into the loss (the
+    from-scratch-backbone bootstrap; see steps._aux_heatmap_loss docstring)."""
+    p3d, knn = setup
+    net = InitNet(npoint=NPT, res_log2=3, backbone_name="resnet34",
+                  num_graph_module=1, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    state = create_init_state(net, knn, CROP, opt)
+    sd = {"params": state.params, "batch_stats": state.batch_stats,
+          "opt_state": state.opt_state}
+    step = steps.make_pretrain_step(net, knn, opt, crop_size_gt=128,
+                                    use_pepper_salt=False, use_motion_blur=False,
+                                    aux_heatmap_weight=1.0)
+    rng = np.random.default_rng(1)
+    batch = _fake_batch(rng)
+    losses, auxes = [], []
+    for i in range(8):
+        sd, metrics = step(sd, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+        auxes.append(float(metrics["loss_aux"]))
+    assert np.isfinite(losses).all() and np.isfinite(auxes).all()
+    assert auxes[-1] < auxes[0], auxes
+
+
+def test_train_step_aux_heatmap(setup):
+    """PoseNet path: the init submodule's sown maps feed the aux loss."""
+    p3d, knn = setup
+    net = PoseNet(npoint=NPT, res_log2=6, backbone_name="resnet34",
+                  num_graph_module=1, init_num_graph_module=1, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    state = create_pose_state(net, knn, CROP, opt, NPT)
+    sd = {"params": state.params, "batch_stats": state.batch_stats,
+          "opt_state": state.opt_state}
+    step = steps.make_train_step(net, knn, opt, stage=1,
+                                 use_pepper_salt=False, use_motion_blur=False,
+                                 aux_heatmap_weight=0.5)
+    rng = np.random.default_rng(1)
+    batch = _fake_batch(rng)
+    batch["p3d_normed"] = np.tile(p3d / 40.0, (2, 1, 1)).astype(np.float32)
+    sd, metrics = step(sd, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_aux"]))
