@@ -76,11 +76,52 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+def _bilinear_up2x_matrix(n: int):
+    """(2n, n) interpolation matrix for align_corners=True 2x bilinear
+    upsampling along one axis: out[i] samples input at i*(n-1)/(2n-1), so each
+    row holds the two lerp weights. Cached per size (sizes are static)."""
+    import numpy as np
+    m = _BILINEAR_MATRIX_CACHE.get(n)
+    if m is None:
+        g = np.arange(2 * n, dtype=np.float64) * (n - 1) / (2 * n - 1)
+        i0 = np.floor(g).astype(np.int64)
+        i1 = np.minimum(i0 + 1, n - 1)
+        w = (g - i0).astype(np.float64)
+        m = np.zeros((2 * n, n), np.float32)
+        np.add.at(m, (np.arange(2 * n), i0), (1.0 - w).astype(np.float32))
+        np.add.at(m, (np.arange(2 * n), i1), w.astype(np.float32))
+        _BILINEAR_MATRIX_CACHE[n] = m
+    return m
+
+
+_BILINEAR_MATRIX_CACHE: dict = {}
+
+
+def upsample_bilinear_2x_matmul(x: jnp.ndarray) -> jnp.ndarray:
+    """2x bilinear upsampling as two small constant matmuls.
+
+    Same math as `upsample_bilinear_2x` (align_corners=True), but expressed as
+    (2H,H)@x along H then (2W,W)@x along W: the forward becomes MXU work
+    instead of 4 spatial gathers, and the backward becomes the transposed
+    matmuls instead of 4 scatter-adds (scatters serialize badly on TPU)."""
+    B, H, W, C = x.shape
+    my = jnp.asarray(_bilinear_up2x_matrix(H), x.dtype)
+    mx = jnp.asarray(_bilinear_up2x_matrix(W), x.dtype)
+    y = jnp.einsum("ph,bhwc->bpwc", my, x)
+    return jnp.einsum("qw,bpwc->bpqc", mx, y)
+
+
 def upsample_bilinear_2x(x: jnp.ndarray) -> jnp.ndarray:
     """2x bilinear upsampling, align_corners=True to match
-    nn.UpsamplingBilinear2d (reference `model/pipeline.py:201`)."""
+    nn.UpsamplingBilinear2d (reference `model/pipeline.py:201`).
+
+    Set CHECKERPOSE_BILINEAR_MATMUL=1 to route through the matmul
+    formulation (`upsample_bilinear_2x_matmul`, identical weights; bf16
+    rounding may differ by ~1 ulp)."""
+    import os
+    if os.environ.get("CHECKERPOSE_BILINEAR_MATMUL", "0") == "1":
+        return upsample_bilinear_2x_matmul(x)
     B, H, W, C = x.shape
-    import jax
     # align_corners=True: out[i] samples input at i*(H-1)/(2H-1)
     def grid(n):
         return jnp.arange(2 * n, dtype=jnp.float32) * (n - 1) / (2 * n - 1)

@@ -89,6 +89,23 @@ class Index2Feat(nn.Module):
         B, Hp, Wp, E = patches.shape
         flat = patches.reshape(B, Hp * Wp, E)
 
+        import os
+        if os.environ.get("CHECKERPOSE_I2F_FUSED_GATHER", "0") == "1":
+            # one gather of all 4 child positions instead of 4 separate
+            # gathers; identical values, same (B, N, 4E) concat order
+            base_y = 2 * y_id
+            base_x = 2 * x_id
+            lin = jnp.stack([
+                base_y * Wp + base_x,
+                (base_y + k) * Wp + base_x,
+                base_y * Wp + (base_x + k),
+                (base_y + k) * Wp + (base_x + k),
+            ], axis=1)                                          # (B, 4, N)
+            g = jnp.take_along_axis(
+                flat, lin.reshape(B, -1)[..., None], axis=1)    # (B, 4N, E)
+            g = g.reshape(B, 4, -1, E)
+            return g.transpose(0, 2, 1, 3).reshape(B, g.shape[2], 4 * E)
+
         def read(dy, dx):
             lin = (2 * y_id + dy) * Wp + (2 * x_id + dx)        # (B, N)
             return jnp.take_along_axis(flat, lin[..., None], axis=1)  # (B, N, E)
