@@ -33,10 +33,10 @@ def main(cfg):
     ckpt_dir = cfg.get("ckpt_dir") or cfg["check_point_path"]
     mgr = CheckpointManager(ckpt_dir)
     try:
-        state = mgr.restore(state, best=True)
+        state = mgr.restore_eval(state, best=True)
         print(f"loaded BEST checkpoint (step {state.step}) from {ckpt_dir}")
     except FileNotFoundError:
-        state = mgr.restore(state)
+        state = mgr.restore_eval(state)
         print(f"loaded latest checkpoint (step {state.step}) from {ckpt_dir}")
 
     res = 2 ** net.res_log2

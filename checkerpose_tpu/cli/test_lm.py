@@ -31,9 +31,9 @@ def main(cfg):
     state = create_pose_state(net, knn_stack[0], crop_img, opt, npoint)
     mgr = CheckpointManager(cfg.get("ckpt_dir") or cfg["check_point_path"])
     try:
-        state = mgr.restore(state, best=True)
+        state = mgr.restore_eval(state, best=True)
     except FileNotFoundError:
-        state = mgr.restore(state)
+        state = mgr.restore_eval(state)
     print(f"loaded checkpoint step {state.step}")
 
     sorted_ids = sorted(cfg["obj_ids"])

@@ -59,10 +59,10 @@ def load_pretrained_init(cfg, knn, crop_img: int):
     st = create_init_state(init_net, knn, crop_img, opt)
     mgr = CheckpointManager(ckpt_dir)
     try:
-        st = mgr.restore(st)
+        st = mgr.restore_eval(st)
     except FileNotFoundError:
         try:
-            st = mgr.restore(st, best=True)
+            st = mgr.restore_eval(st, best=True)
         except FileNotFoundError:
             print(f"no init checkpoint under {ckpt_dir}; training from scratch")
             return None

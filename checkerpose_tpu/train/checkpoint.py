@@ -71,3 +71,25 @@ class CheckpointManager:
                           opt_state=restored["opt_state"],
                           step=int(restored["step"]),
                           best_score=float(restored["best_score"]))
+
+    def restore_eval(self, state: TrainState, step: Optional[int] = None,
+                     best: bool = False) -> TrainState:
+        """Optimizer-agnostic restore for inference/eval.
+
+        Training runs persist the optimizer state of whatever schedule the
+        config used (e.g. the two-phase lr of `make_optimizer(lr, lr2,
+        lr2_start)` carries a count, a plain Adam does not), so a structural
+        `restore` from an eval CLI built with a different optimizer fails.
+        Eval only needs params/batch_stats/step: restore the raw pytree as
+        saved (no target structure) and keep `state`'s fresh opt_state.
+        """
+        mgr = self.best_mgr if best else self.mgr
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {self.dir}")
+        raw = mgr.restore(step)
+        return TrainState(params=raw["params"],
+                          batch_stats=raw["batch_stats"],
+                          opt_state=state.opt_state,
+                          step=int(raw["step"]),
+                          best_score=float(raw["best_score"]))

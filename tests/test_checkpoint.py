@@ -40,6 +40,36 @@ def test_keep_3_rolling(tmp_path):
     assert restored.step == 40
 
 
+def test_restore_eval_across_optimizers(tmp_path):
+    """A checkpoint saved under the two-phase-lr optimizer (whose opt_state
+    carries a schedule count) must restore into an eval CLI built with a
+    plain optimizer: restore_eval ignores opt_state structure entirely.
+    Regression: the synth proof's final cli.test crashed on the structural
+    mismatch (EmptyState vs dict at opt_state[1])."""
+    import optax
+    from checkerpose_tpu.train.state import make_optimizer
+
+    params = {"dense": {"kernel": jnp.full((4, 4), 3.0), "bias": jnp.zeros(4)}}
+    bs = {"bn": {"mean": jnp.zeros(4), "var": jnp.ones(4)}}
+    sched_opt = make_optimizer(1e-4, lr2=5e-5, lr2_start=100)
+    st = TrainState(params=params, batch_stats=bs,
+                    opt_state=sched_opt.init(params), step=7, best_score=0.3)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(st)
+    mgr.wait()
+
+    plain_opt = make_optimizer(1e-4)
+    fresh = TrainState(params=jax.tree.map(jnp.zeros_like, params),
+                       batch_stats=jax.tree.map(jnp.zeros_like, bs),
+                       opt_state=plain_opt.init(params), step=0, best_score=0.0)
+    restored = mgr.restore_eval(fresh)
+    assert restored.step == 7
+    np.testing.assert_array_equal(np.asarray(restored.params["dense"]["kernel"]),
+                                  np.full((4, 4), 3.0))
+    # fresh opt_state is kept as-is (eval never steps the optimizer)
+    assert restored.opt_state is fresh.opt_state
+
+
 def test_best_checkpoint_separate(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ck"))
     st = _mk_state(10, scale=1.0)

@@ -73,7 +73,7 @@ def main():
     mgr = CheckpointManager(cfg["check_point_path"])
 
     if args.mode == "export":
-        state = mgr.restore(state, best=args.best)
+        state = mgr.restore_eval(state, best=args.best)
         flat = dict(_flatten({"params": state.params,
                               "batch_stats": state.batch_stats}))
         flat["__step__"] = np.asarray(state.step)
