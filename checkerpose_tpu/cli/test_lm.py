@@ -76,6 +76,7 @@ def main(cfg):
             # RANSAC work across 13 objects for discarded numbers
             filter_modes=(main_filter,),
             main_filter=main_filter, sym_rots=sym_rots,
+            decode_mode=cfg.get("decode_mode", "hard"),
             num_hyp=int(cfg.get("pnp_num_hyp", 128)),
             soft_inlier_sigma=(0.5 if cfg.get("use_progressivex", False) else 0.0),
             coherence_weight=(0.1 if cfg.get("use_progressivex", False) else 0.0))

@@ -122,7 +122,8 @@ def main(cfg):
             net, knn, variables, common.with_p3d(val_loader_factory(), p3dn), xyz,
             diameter, stage=net.num_refine_steps,
             use_adi=cfg.get("is_symmetric", False),
-            filter_modes=("visib",), main_filter="visib")
+            filter_modes=("visib",), main_filter="visib",
+            decode_mode=cfg.get("decode_mode", "hard"))
         if "bit_err" in rep:
             # per-bit code errors (roi, x MSB->LSB, y MSB->LSB): the live
             # view of which progressive bits have cracked

@@ -102,7 +102,8 @@ def main(cfg):
                 p3d_table[obj_id], float(minfo[obj_id]["diameter"]),
                 stage=net.num_refine_steps,
                 use_adi=(name in cfg["symmetric_names"]),
-                filter_modes=("visib",), main_filter="visib")
+                filter_modes=("visib",), main_filter="visib",
+                decode_mode=cfg.get("decode_mode", "hard"))
             accs[name] = r["test_acc"]
         mean = float(np.mean(list(accs.values())))
         print("per-object adx10:", {k: round(v, 4) for k, v in accs.items()})

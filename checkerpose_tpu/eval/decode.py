@@ -14,6 +14,24 @@ import jax
 import jax.numpy as jnp
 
 
+def soft_ids(x_logits, y_logits):
+    """Confidence-weighted expected cell ids from per-bit logits (MSB-first).
+
+    E[id] = sum_i sigmoid(logit_i) * 2^(L-1-i): equal to the hard id when
+    every bit is confident, and the center of the finest CONFIDENT block when
+    trailing bits are uncertain (sigmoid ~ 0.5 contributes the half-cell
+    offset). This is the L2-optimal decode under per-bit independence and
+    removes the systematic sub-cell bias hard-thresholding introduces while
+    fine bits are still unlearned. No reference analog (the reference always
+    hard-decodes, CNN_output_to_pose.py); opt-in via decode_mode="soft".
+    """
+    L = x_logits.shape[-1]
+    w = jnp.asarray(2.0 ** jnp.arange(L - 1, -1, -1), jnp.float32)
+    ex = jnp.sum(jax.nn.sigmoid(x_logits.astype(jnp.float32)) * w, axis=-1)
+    ey = jnp.sum(jax.nn.sigmoid(y_logits.astype(jnp.float32)) * w, axis=-1)
+    return ex, ey
+
+
 @functools.partial(jax.jit, static_argnames=("crop_size_gt", "check_seg",
                                              "discard_bd_pixel"))
 def ids_to_correspondences(x_id, y_id, roi_mask, bbox, *, crop_size_gt: int,
@@ -38,9 +56,12 @@ def ids_to_correspondences(x_id, y_id, roi_mask, bbox, *, crop_size_gt: int,
     if check_seg and seg_mask is not None:
         h = seg_mask.shape[1]
         f = h // S if h >= S else 1
-        # seg may be coarser than S when refinement is incomplete
-        sx = jnp.clip((x_id * h) // S, 0, h - 1)
-        sy = jnp.clip((y_id * h) // S, 0, h - 1)
+        # seg may be coarser than S when refinement is incomplete; ids may be
+        # float under decode_mode="soft" -- the lookup grid stays integer
+        xi = jnp.floor(x_id).astype(jnp.int32)
+        yi = jnp.floor(y_id).astype(jnp.int32)
+        sx = jnp.clip((xi * h) // S, 0, h - 1)
+        sy = jnp.clip((yi * h) // S, 0, h - 1)
         flat = seg_mask.reshape(seg_mask.shape[0], -1)
         seg_at = jnp.take_along_axis(flat, sy * h + sx, axis=1)
         valid = valid * (seg_at > 0.5).astype(jnp.float32)

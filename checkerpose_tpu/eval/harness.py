@@ -20,7 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from checkerpose_tpu.eval import metrics as M
-from checkerpose_tpu.eval.decode import ids_to_correspondences
+from checkerpose_tpu.eval.decode import ids_to_correspondences, soft_ids
 from checkerpose_tpu.ops import codes as _codes
 from checkerpose_tpu.solver.ransac import solve_poses_batched
 from checkerpose_tpu.train import steps
@@ -90,7 +90,8 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
                       soft_inlier_sigma: float = 0.0,
                       coherence_weight: float = 0.0, discard_bd_pixel: int = 0,
                       filter_modes=FILTER_MODES, main_filter: str = "visib",
-                      sym_rots=None, seed: int = 0) -> Dict:
+                      sym_rots=None, seed: int = 0,
+                      decode_mode: str = "hard") -> Dict:
     """Full eval sweep. Returns aggregate metrics + per-image poses for CSV.
 
     p3d_xyz: (N, 3) keypoints (mm) used for PnP; `vertices`: denser model
@@ -137,12 +138,16 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
         B = R_gt.shape[0]
         nm = len(filter_modes)
 
+        if decode_mode == "soft":
+            dec_x, dec_y = soft_ids(out["x_logits"], out["y_logits"])
+        else:
+            dec_x, dec_y = out["x_id"], out["y_id"]
         p2d_all, valid_all = [], []
         for mode in filter_modes:
             seg = {"none": None, "full": out["seg_full"],
                    "visib": out["seg_visib"]}[mode]
             p2d, valid = ids_to_correspondences(
-                out["x_id"], out["y_id"], out["roi_mask"],
+                dec_x, dec_y, out["roi_mask"],
                 jnp.asarray(batch["bbox"]), crop_size_gt=res, seg_mask=seg,
                 check_seg=(mode != "none"), discard_bd_pixel=discard_bd_pixel)
             p2d_all.append(p2d)

@@ -254,6 +254,7 @@ def make_pose_forward(net, knn_idx, stage: int):
         roi_mask = (out["roi_logit"][..., 0] > 0.0).astype(jnp.float32)  # (B,N)
         seg = jax.nn.sigmoid(out["seg_logits"])
         return {"roi_mask": roi_mask, "x_id": out["x_id"], "y_id": out["y_id"],
+                "x_logits": out["x_logits"], "y_logits": out["y_logits"],
                 "seg_visib": seg[..., 0], "seg_full": seg[..., 1]}
 
     return fwd

@@ -1,0 +1,41 @@
+"""Soft (expected-id) decode: eval/decode.py::soft_ids + harness plumbing."""
+import numpy as np
+import jax.numpy as jnp
+
+from checkerpose_tpu.eval.decode import ids_to_correspondences, soft_ids
+from checkerpose_tpu.ops import codes as _codes
+
+
+def test_soft_equals_hard_when_confident():
+    ids = jnp.asarray([[5, 63, 0, 42]], jnp.int32)
+    bits = _codes.ids_to_codes(ids, 6)                     # (1, 4, 6) in {0,1}
+    logits = (bits * 2.0 - 1.0) * 20.0                     # +-20 -> sigmoid ~ 0/1
+    ex, ey = soft_ids(logits, logits)
+    np.testing.assert_allclose(np.asarray(ex), np.asarray(ids), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ey), np.asarray(ids), atol=1e-4)
+
+
+def test_soft_centers_uncertain_tail():
+    # MSBs confident for id 40 = 101000b, last two bits logit 0 -> expected
+    # id = 40 (confident prefix) + 0.5 + 0.25 + ... over uncertain bits
+    bits = _codes.ids_to_codes(jnp.asarray([[40]], jnp.int32), 6)
+    logits = np.array((bits * 2.0 - 1.0) * 20.0)
+    logits[..., 4:] = 0.0                                  # last 2 bits unknown
+    ex, _ = soft_ids(jnp.asarray(logits), jnp.asarray(logits))
+    # uniform over the 4-cell block {40..43}: E = 40 + 0.5*2 + 0.5*1 = 41.5
+    np.testing.assert_allclose(np.asarray(ex), [[41.5]], atol=1e-3)
+
+
+def test_float_ids_through_correspondences():
+    ex = jnp.asarray([[10.5, 41.5]], jnp.float32)
+    ey = jnp.asarray([[3.25, 60.0]], jnp.float32)
+    roi = jnp.ones((1, 2), jnp.float32)
+    bbox = jnp.asarray([[100.0, 50.0, 128.0, 128.0]])
+    seg = jnp.ones((1, 64, 64), jnp.float32)
+    p2d, valid = ids_to_correspondences(ex, ey, roi, bbox, crop_size_gt=64,
+                                        seg_mask=seg, check_seg=True)
+    scale = 128.0 / 64
+    np.testing.assert_allclose(np.asarray(p2d[0, 0]),
+                               [100.0 + 10.5 * scale, 50.0 + 3.25 * scale],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(valid), [[1.0, 1.0]])

@@ -165,6 +165,36 @@ def test_evaluate_pipeline_stacked_modes(setup):
     assert report["none"]["mean_re_deg"] <= plain["none"]["mean_re_deg"] + 1e-4
 
 
+def test_evaluate_pipeline_soft_decode(setup):
+    """decode_mode='soft' runs the same sweep on expected-id correspondences
+    (float ids through ids_to_correspondences) and returns a sane report."""
+    p3d, knn = setup
+    net = PoseNet(npoint=NPT, res_log2=6, backbone_name="resnet34",
+                  num_graph_module=1, init_num_graph_module=1, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    state = create_pose_state(net, knn, CROP, opt, NPT)
+    rng = np.random.default_rng(5)
+    batch = _fake_batch(rng)
+    from checkerpose_tpu.ops.geometry import pc_normalize
+    batch["p3d_normed"] = np.tile(pc_normalize(p3d)[None], (2, 1, 1)).astype(np.float32)
+    batch["R"] = np.tile(np.eye(3, dtype=np.float32)[None], (2, 1, 1))
+    batch["t"] = np.tile(np.array([0, 0, 400], np.float32)[None], (2, 1))
+    batch["cam_K"] = np.tile(np.array([[572.4, 0, 325], [0, 573.5, 242],
+                                       [0, 0, 1]], np.float32)[None], (2, 1, 1))
+    batch["valid"] = np.ones(2, np.float32)
+    batch["scene_id"] = np.zeros(2, np.int32)
+    batch["im_id"] = np.arange(2, dtype=np.int32)
+
+    from checkerpose_tpu.eval.harness import evaluate_pipeline
+    report = evaluate_pipeline(
+        net, knn, state.variables(), iter([dict(batch)]), p3d, 60.0,
+        stage=3, use_adi=False, num_hyp=16,
+        filter_modes=("visib",), main_filter="visib", decode_mode="soft")
+    assert 0.0 <= report["visib"]["adx10"] <= 1.0
+    assert np.isfinite(report["visib"]["mean_re_deg"])
+    assert len(report["poses"]) == 2
+
+
 def test_curriculum_stage_transition(setup):
     """One shared state must train through stage 1 -> 2 -> 3 (the progressive
     curriculum, reference train.py:272 get_train_stage): every stage variant

@@ -60,7 +60,7 @@ def main(cfg, n_images=48):
     variables = state.variables()
     key = jax.random.PRNGKey(0)
 
-    variants = ["raw", "trunc4", "trunc3", "soft"]
+    variants = ["raw", "trunc4", "trunc3", "soft", "adapt1", "adapt2", "adapt3"]
     adds = {v: [] for v in variants}
     bias_sum = np.zeros(2)
     gt_mean_lsb = np.zeros(2)
@@ -96,6 +96,15 @@ def main(cfg, n_images=48):
             c = (blk - 1) / 2.0
             ids[f"trunc{k}"] = (jnp.floor(x_id / blk) * blk + c,
                                 jnp.floor(y_id / blk) * blk + c)
+        # adaptive: hard bit where |logit| > tau, 0.5 (block center) where not
+        xb = _codes.ids_to_codes(out["x_id"], L).astype(jnp.float32)
+        yb = _codes.ids_to_codes(out["y_id"], L).astype(jnp.float32)
+        for tau in (1, 2, 3):
+            cx = jnp.abs(out["x_logits"].astype(jnp.float32)) > tau
+            cy = jnp.abs(out["y_logits"].astype(jnp.float32)) > tau
+            ax = jnp.sum(jnp.where(cx, xb, 0.5) * w, axis=-1)
+            ay = jnp.sum(jnp.where(cy, yb, 0.5) * w, axis=-1)
+            ids[f"adapt{tau}"] = (ax, ay)
 
         # bias bookkeeping on GT-in-roi keypoints
         m = np.asarray(gt_bit) > 0.5
