@@ -78,7 +78,8 @@ def main(cfg):
         coherence_weight=(0.1 if cfg.get("use_progressivex", False) else 0.0),
         discard_bd_pixel=int(cfg.get("ignore_bit", 0)),
         main_filter=main_filter,
-        decode_mode=cfg.get("decode_mode", "hard"))
+        decode_mode=cfg.get("decode_mode", "hard"),
+        decode_conf_tau=float(cfg.get("decode_conf_tau", 3.0)))
 
     out_dir = cfg.get("eval_output_path", "eval_output")
     os.makedirs(out_dir, exist_ok=True)

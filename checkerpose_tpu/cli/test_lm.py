@@ -77,6 +77,7 @@ def main(cfg):
             filter_modes=(main_filter,),
             main_filter=main_filter, sym_rots=sym_rots,
             decode_mode=cfg.get("decode_mode", "hard"),
+            decode_conf_tau=float(cfg.get("decode_conf_tau", 3.0)),
             num_hyp=int(cfg.get("pnp_num_hyp", 128)),
             soft_inlier_sigma=(0.5 if cfg.get("use_progressivex", False) else 0.0),
             coherence_weight=(0.1 if cfg.get("use_progressivex", False) else 0.0))

@@ -123,7 +123,8 @@ def main(cfg):
             diameter, stage=net.num_refine_steps,
             use_adi=cfg.get("is_symmetric", False),
             filter_modes=("visib",), main_filter="visib",
-            decode_mode=cfg.get("decode_mode", "hard"))
+            decode_mode=cfg.get("decode_mode", "hard"),
+            decode_conf_tau=float(cfg.get("decode_conf_tau", 3.0)))
         if "bit_err" in rep:
             # per-bit code errors (roi, x MSB->LSB, y MSB->LSB): the live
             # view of which progressive bits have cracked

@@ -103,7 +103,8 @@ def main(cfg):
                 stage=net.num_refine_steps,
                 use_adi=(name in cfg["symmetric_names"]),
                 filter_modes=("visib",), main_filter="visib",
-                decode_mode=cfg.get("decode_mode", "hard"))
+                decode_mode=cfg.get("decode_mode", "hard"),
+                decode_conf_tau=float(cfg.get("decode_conf_tau", 3.0)))
             accs[name] = r["test_acc"]
         mean = float(np.mean(list(accs.values())))
         print("per-object adx10:", {k: round(v, 4) for k, v in accs.items()})

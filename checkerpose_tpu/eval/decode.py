@@ -32,6 +32,27 @@ def soft_ids(x_logits, y_logits):
     return ex, ey
 
 
+def adaptive_ids(x_logits, y_logits, tau: float = 3.0):
+    """Confidence-truncated decode: trust a bit only when |logit| > tau,
+    otherwise contribute the block-center 0.5.
+
+    The progressive net's unlearned fine bits are near-chance but
+    hard-threshold to a random corner of the finest CONFIDENT block, adding
+    up to a full block of correspondence error; centering uncertain bits is
+    the minimax position. Unlike `soft_ids` this keeps confident bits EXACT
+    (no shrinkage), which measured ~5x better ADD@0.1d mid-training on the
+    synthetic proof (tools/diag_finebits.py). No reference analog; opt-in
+    via decode_mode="adaptive" + decode_conf_tau.
+    """
+    L = x_logits.shape[-1]
+    w = jnp.asarray(2.0 ** jnp.arange(L - 1, -1, -1), jnp.float32)
+    xl = x_logits.astype(jnp.float32)
+    yl = y_logits.astype(jnp.float32)
+    ex = jnp.sum(jnp.where(jnp.abs(xl) > tau, (xl > 0).astype(jnp.float32), 0.5) * w, axis=-1)
+    ey = jnp.sum(jnp.where(jnp.abs(yl) > tau, (yl > 0).astype(jnp.float32), 0.5) * w, axis=-1)
+    return ex, ey
+
+
 @functools.partial(jax.jit, static_argnames=("crop_size_gt", "check_seg",
                                              "discard_bd_pixel"))
 def ids_to_correspondences(x_id, y_id, roi_mask, bbox, *, crop_size_gt: int,

@@ -20,7 +20,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from checkerpose_tpu.eval import metrics as M
-from checkerpose_tpu.eval.decode import ids_to_correspondences, soft_ids
+from checkerpose_tpu.eval.decode import (adaptive_ids,
+                                          ids_to_correspondences, soft_ids)
 from checkerpose_tpu.ops import codes as _codes
 from checkerpose_tpu.solver.ransac import solve_poses_batched
 from checkerpose_tpu.train import steps
@@ -91,7 +92,8 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
                       coherence_weight: float = 0.0, discard_bd_pixel: int = 0,
                       filter_modes=FILTER_MODES, main_filter: str = "visib",
                       sym_rots=None, seed: int = 0,
-                      decode_mode: str = "hard") -> Dict:
+                      decode_mode: str = "hard",
+                      decode_conf_tau: float = 3.0) -> Dict:
     """Full eval sweep. Returns aggregate metrics + per-image poses for CSV.
 
     p3d_xyz: (N, 3) keypoints (mm) used for PnP; `vertices`: denser model
@@ -140,6 +142,9 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
 
         if decode_mode == "soft":
             dec_x, dec_y = soft_ids(out["x_logits"], out["y_logits"])
+        elif decode_mode == "adaptive":
+            dec_x, dec_y = adaptive_ids(out["x_logits"], out["y_logits"],
+                                        decode_conf_tau)
         else:
             dec_x, dec_y = out["x_id"], out["y_id"]
         p2d_all, valid_all = [], []

@@ -26,6 +26,21 @@ def test_soft_centers_uncertain_tail():
     np.testing.assert_allclose(np.asarray(ex), [[41.5]], atol=1e-3)
 
 
+def test_adaptive_ids_truncates_uncertain_bits():
+    from checkerpose_tpu.eval.decode import adaptive_ids
+    bits = _codes.ids_to_codes(jnp.asarray([[40, 7]], jnp.int32), 6)
+    logits = np.array((bits * 2.0 - 1.0) * 20.0)
+    logits[0, 0, 4:] = -1.0       # last 2 bits of kp0 below tau -> centered
+    ex, ey = adaptive_ids(jnp.asarray(logits), jnp.asarray(logits), tau=3.0)
+    # kp0: confident prefix 40, uncertain tail centered -> 40 + 1.5
+    # kp1: all bits confident -> exact hard id
+    np.testing.assert_allclose(np.asarray(ex), [[41.5, 7.0]], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ey), [[41.5, 7.0]], atol=1e-3)
+    # tau below the weak logits -> trusts them -> hard id exactly
+    ex2, _ = adaptive_ids(jnp.asarray(logits), jnp.asarray(logits), tau=0.5)
+    np.testing.assert_allclose(np.asarray(ex2), [[40.0, 7.0]], atol=1e-3)
+
+
 def test_float_ids_through_correspondences():
     ex = jnp.asarray([[10.5, 41.5]], jnp.float32)
     ey = jnp.asarray([[3.25, 60.0]], jnp.float32)

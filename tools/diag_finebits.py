@@ -60,7 +60,8 @@ def main(cfg, n_images=48):
     variables = state.variables()
     key = jax.random.PRNGKey(0)
 
-    variants = ["raw", "trunc4", "trunc3", "soft", "adapt1", "adapt2", "adapt3"]
+    variants = ["raw", "adapt2", "adapt3", "adapt4", "adapt5", "adapt6",
+                "adapt2+h", "adapt3+h", "adapt4+h"]
     adds = {v: [] for v in variants}
     bias_sum = np.zeros(2)
     gt_mean_lsb = np.zeros(2)
@@ -99,12 +100,17 @@ def main(cfg, n_images=48):
         # adaptive: hard bit where |logit| > tau, 0.5 (block center) where not
         xb = _codes.ids_to_codes(out["x_id"], L).astype(jnp.float32)
         yb = _codes.ids_to_codes(out["y_id"], L).astype(jnp.float32)
-        for tau in (1, 2, 3):
+        for tau in (2, 3, 4, 5, 6):
             cx = jnp.abs(out["x_logits"].astype(jnp.float32)) > tau
             cy = jnp.abs(out["y_logits"].astype(jnp.float32)) > tau
             ax = jnp.sum(jnp.where(cx, xb, 0.5) * w, axis=-1)
             ay = jnp.sum(jnp.where(cy, yb, 0.5) * w, axis=-1)
             ids[f"adapt{tau}"] = (ax, ay)
+        # +h: +0.5 cell (decode to cell CENTER; GT ids floor the projection,
+        # so corner decode carries a systematic -half-cell offset)
+        for tau in (2, 3, 4):
+            ids[f"adapt{tau}+h"] = (ids[f"adapt{tau}"][0] + 0.5,
+                                    ids[f"adapt{tau}"][1] + 0.5)
 
         # bias bookkeeping on GT-in-roi keypoints
         m = np.asarray(gt_bit) > 0.5
