@@ -113,6 +113,9 @@ def parse_args():
     p.add_argument("--use_progressivex", action="store_true")
     p.add_argument("--ignore_bit", type=int, default=None)
     p.add_argument("--test_batch_size", type=int, default=None)
+    p.add_argument("--decode_mode", default=None,
+                   choices=("hard", "soft", "adaptive"))
+    p.add_argument("--decode_conf_tau", type=float, default=None)
     return p.parse_args()
 
 
@@ -124,5 +127,7 @@ if __name__ == "__main__":
         "use_progressivex": args.use_progressivex or None,
         "ignore_bit": args.ignore_bit,
         "test_batch_size": args.test_batch_size,
+        "decode_mode": args.decode_mode,
+        "decode_conf_tau": args.decode_conf_tau,
     })
     main(cfg)
