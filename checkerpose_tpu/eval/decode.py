@@ -57,14 +57,23 @@ def adaptive_ids(x_logits, y_logits, tau: float = 3.0):
                                              "discard_bd_pixel"))
 def ids_to_correspondences(x_id, y_id, roi_mask, bbox, *, crop_size_gt: int,
                            seg_mask=None, check_seg: bool = False,
-                           discard_bd_pixel: int = 0):
+                           discard_bd_pixel: int = 0,
+                           filter_x_id=None, filter_y_id=None):
     """Args (batched):
-      x_id/y_id: (B, N) int32 at crop_size_gt resolution.
+      x_id/y_id: (B, N) int32 at crop_size_gt resolution (float allowed
+        under soft/adaptive decode; p2d is ids*scale either way).
       roi_mask: (B, N) float {0,1} predicted in-RoI bit.
       bbox: (B, 4) final square bbox [x, y, w, h].
       seg_mask: (B, h, w) predicted seg probabilities (resolution h=w may be
         crop_size_gt or coarser; looked up at the id grid, like the
         stage-aware lookup at `test_network_with_test_data.py:383-402`).
+      filter_x_id/filter_y_id: optional ids for the seg/boundary validity
+        checks when they should differ from the coordinate ids. Soft/adaptive
+        decodes center uncertain keypoints mid-block, which can land OFF the
+        segmentation even when the net's finest-cell claim is on it -- the
+        filter must judge the net's hard claim, not the centered coordinate
+        (measured: the visib filter drops so many centered points that
+        ADD@0.1d collapses 0.41 -> 0.03 without this split).
 
     Returns (p2d (B, N, 2) original-image pixels, valid (B, N) float).
     """
@@ -73,21 +82,23 @@ def ids_to_correspondences(x_id, y_id, roi_mask, bbox, *, crop_size_gt: int,
     ids = jnp.stack([x_id, y_id], axis=-1).astype(jnp.float32)  # (B, N, 2)
     p2d = ids * scale + bbox[:, None, 0:2]
 
+    fx = x_id if filter_x_id is None else filter_x_id
+    fy = y_id if filter_y_id is None else filter_y_id
     valid = roi_mask
     if check_seg and seg_mask is not None:
         h = seg_mask.shape[1]
         f = h // S if h >= S else 1
         # seg may be coarser than S when refinement is incomplete; ids may be
         # float under decode_mode="soft" -- the lookup grid stays integer
-        xi = jnp.floor(x_id).astype(jnp.int32)
-        yi = jnp.floor(y_id).astype(jnp.int32)
+        xi = jnp.floor(fx).astype(jnp.int32)
+        yi = jnp.floor(fy).astype(jnp.int32)
         sx = jnp.clip((xi * h) // S, 0, h - 1)
         sy = jnp.clip((yi * h) // S, 0, h - 1)
         flat = seg_mask.reshape(seg_mask.shape[0], -1)
         seg_at = jnp.take_along_axis(flat, sy * h + sx, axis=1)
         valid = valid * (seg_at > 0.5).astype(jnp.float32)
     if discard_bd_pixel > 0:
-        inb = ((x_id >= discard_bd_pixel) & (x_id < S - discard_bd_pixel) &
-               (y_id >= discard_bd_pixel) & (y_id < S - discard_bd_pixel))
+        inb = ((fx >= discard_bd_pixel) & (fx < S - discard_bd_pixel) &
+               (fy >= discard_bd_pixel) & (fy < S - discard_bd_pixel))
         valid = valid * inb.astype(jnp.float32)
     return p2d, valid

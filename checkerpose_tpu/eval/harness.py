@@ -154,7 +154,8 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
             p2d, valid = ids_to_correspondences(
                 dec_x, dec_y, out["roi_mask"],
                 jnp.asarray(batch["bbox"]), crop_size_gt=res, seg_mask=seg,
-                check_seg=(mode != "none"), discard_bd_pixel=discard_bd_pixel)
+                check_seg=(mode != "none"), discard_bd_pixel=discard_bd_pixel,
+                filter_x_id=out["x_id"], filter_y_id=out["y_id"])
             p2d_all.append(p2d)
             valid_all.append(valid)
         camK = jnp.asarray(batch["cam_K"])

@@ -41,6 +41,30 @@ def test_adaptive_ids_truncates_uncertain_bits():
     np.testing.assert_allclose(np.asarray(ex2), [[40.0, 7.0]], atol=1e-3)
 
 
+def test_filter_ids_split_from_coordinate_ids():
+    """Centered (soft/adaptive) coordinates can land OFF the seg mask even
+    when the net's finest-cell claim is on it; validity must be judged at the
+    hard ids (filter_x_id/filter_y_id), not the centered floats. Regression:
+    the visib filter collapsed adaptive-decode ADD 0.41 -> 0.03."""
+    # seg on only at cell (x=10, y=3); centered coord decodes to x=12.5
+    seg = jnp.zeros((1, 64, 64)).at[0, 3, 10].set(1.0)
+    ex = jnp.asarray([[12.5]], jnp.float32)   # centered: off-seg cell 12
+    ey = jnp.asarray([[3.0]], jnp.float32)
+    hard_x = jnp.asarray([[10]], jnp.int32)   # net's claim: on-seg
+    hard_y = jnp.asarray([[3]], jnp.int32)
+    roi = jnp.ones((1, 1), jnp.float32)
+    bbox = jnp.asarray([[0.0, 0.0, 64.0, 64.0]])
+    _, v_nofilter = ids_to_correspondences(ex, ey, roi, bbox, crop_size_gt=64,
+                                           seg_mask=seg, check_seg=True)
+    p2d, v_split = ids_to_correspondences(ex, ey, roi, bbox, crop_size_gt=64,
+                                          seg_mask=seg, check_seg=True,
+                                          filter_x_id=hard_x, filter_y_id=hard_y)
+    assert float(v_nofilter[0, 0]) == 0.0
+    assert float(v_split[0, 0]) == 1.0
+    # coordinates still come from the centered floats
+    np.testing.assert_allclose(np.asarray(p2d[0, 0]), [12.5, 3.0], rtol=1e-6)
+
+
 def test_float_ids_through_correspondences():
     ex = jnp.asarray([[10.5, 41.5]], jnp.float32)
     ey = jnp.asarray([[3.25, 60.0]], jnp.float32)
