@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from checkerpose_tpu.eval.decode import ids_to_correspondences
+from checkerpose_tpu.eval.decode import (adaptive_ids,
+                                          ids_to_correspondences, soft_ids)
 from checkerpose_tpu.ops import crop
 from checkerpose_tpu.solver.ransac import FAST_PROFILE, solve_poses_batched
 
@@ -30,7 +31,8 @@ class ServingPipeline:
                  coherence_weight: float = 0.0,
                  check_seg: bool = True, discard_bd_pixel: int = 0,
                  fused_edgeconv: bool = False,
-                 solver_kw: Optional[dict] = None):
+                 solver_kw: Optional[dict] = None,
+                 decode_mode: str = "hard", decode_conf_tau: float = 3.0):
         self.net = net
         self.knn_idx = knn_idx
         self.variables = variables
@@ -80,10 +82,18 @@ class ServingPipeline:
                                  train=False)
             roi = (out["roi_logit"][..., 0] > 0.0).astype(jnp.float32)
             seg = jax.nn.sigmoid(out["seg_logits"][..., 0]) if check_seg else None
+            if decode_mode == "soft":
+                dec_x, dec_y = soft_ids(out["x_logits"], out["y_logits"])
+            elif decode_mode == "adaptive":
+                dec_x, dec_y = adaptive_ids(out["x_logits"], out["y_logits"],
+                                            decode_conf_tau)
+            else:
+                dec_x, dec_y = out["x_id"], out["y_id"]
             p2d, valid = ids_to_correspondences(
-                out["x_id"], out["y_id"], roi, bbox, crop_size_gt=res,
+                dec_x, dec_y, roi, bbox, crop_size_gt=res,
                 seg_mask=seg, check_seg=check_seg,
-                discard_bd_pixel=discard_bd_pixel)
+                discard_bd_pixel=discard_bd_pixel,
+                filter_x_id=out["x_id"], filter_y_id=out["y_id"])
             return p2d, valid
 
         self._stage1 = stage1
