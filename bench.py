@@ -67,7 +67,9 @@ def main():
     # stays the default).
     import contextlib
     import os
-    if os.environ.get("CHECKERPOSE_FUSED_EDGECONV", "0") == "1":
+    # default ON: measured 843 -> 900 crops/s e2e on top of the matmul
+    # upsample + fused gather (logs/perf/summary.log); =0 for XLA EdgeConv
+    if os.environ.get("CHECKERPOSE_FUSED_EDGECONV", "1") == "1":
         from checkerpose_tpu.models.fused import build_fused_registry, fused_edgeconv
         registry = build_fused_registry(variables, knn)
         edgeconv_ctx = lambda: fused_edgeconv(registry)  # noqa: E731

@@ -90,7 +90,7 @@ class Index2Feat(nn.Module):
         flat = patches.reshape(B, Hp * Wp, E)
 
         import os
-        if os.environ.get("CHECKERPOSE_I2F_FUSED_GATHER", "0") == "1":
+        if os.environ.get("CHECKERPOSE_I2F_FUSED_GATHER", "1") == "1":
             # one gather of all 4 child positions instead of 4 separate
             # gathers; identical values, same (B, N, 4E) concat order
             base_y = 2 * y_id
