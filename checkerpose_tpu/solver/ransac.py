@@ -190,7 +190,12 @@ def ransac_pnp(p3d: jnp.ndarray, p2d: jnp.ndarray, valid: jnp.ndarray,
 
     final_err = reproj_errors(Rf, tf, p3d, p2d, K)
     inliers = (final_err < reproj_thresh).astype(jnp.float32) * valid
-    success = n_valid >= 4
+    # degenerate correspondence geometry (e.g. all points collapsed onto one
+    # pixel) can drive EPnP/GN to a NaN pose: that is a FAILED solve, same
+    # identity-pose fallback as n_valid < 4 (reference returns success=False
+    # from solvePnPRansac there too)
+    finite = jnp.all(jnp.isfinite(Rf)) & jnp.all(jnp.isfinite(tf))
+    success = (n_valid >= 4) & finite
 
     eyeR = jnp.eye(3)
     zt = jnp.zeros(3)

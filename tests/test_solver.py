@@ -181,3 +181,22 @@ def test_spatial_coherence_smooths_isolated_outlier():
     # both reject the gross outlier and recover the pose
     assert not bool(out_hard["inliers"][11]) and not bool(out_coh["inliers"][11])
     assert _rot_err_deg(np.asarray(out_coh["R"]), R) < 1.0
+
+
+def test_degenerate_collapsed_points_fail_cleanly():
+    """All correspondences on one pixel -> EPnP/GN may NaN; the solve must
+    report success=False with the identity fallback, never a NaN pose."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from checkerpose_tpu.solver.ransac import solve_poses_batched
+
+    rng = np.random.default_rng(3)
+    p3d = jnp.asarray(rng.uniform(-30, 30, (16, 3)), jnp.float32)
+    p2d = jnp.broadcast_to(jnp.asarray([160.0, 120.0]), (2, 16, 2))
+    valid = jnp.ones((2, 16), jnp.float32)
+    K = jnp.asarray([[570.0, 0, 160], [0, 570.0, 120], [0, 0, 1]], jnp.float32)
+    sol = solve_poses_batched(p3d, p2d, valid, K, jax.random.PRNGKey(0),
+                              num_hyp=16)
+    assert np.isfinite(np.asarray(sol["R"])).all()
+    assert np.isfinite(np.asarray(sol["t"])).all()
