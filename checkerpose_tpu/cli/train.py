@@ -25,6 +25,7 @@ from checkerpose_tpu.utils.logging import MetricWriter
 def build_pose_net(cfg, npoint: int) -> PoseNet:
     return PoseNet(
         npoint=npoint,
+        aux_refine_heads=float(cfg.get("aux_refine_heatmap_weight", 0.0)) > 0,
         res_log2=int(cfg.get("network_res_log2", 6)),
         backbone_name=cfg.get("init_network_backbone_name", "resnet34"),
         local_k=int(cfg.get("network_local_k", 2)),
@@ -108,7 +109,9 @@ def main(cfg):
             use_pepper_salt=bool(cfg.get("use_peper_salt", True)),
             use_motion_blur=bool(cfg.get("use_motion_blur", True)),
             color_aug_prob=float(cfg.get("color_aug_prob", 0.8)),
-            aux_heatmap_weight=float(cfg.get("aux_heatmap_loss_weight", 0.0)))
+            aux_heatmap_weight=float(cfg.get("aux_heatmap_loss_weight", 0.0)),
+            aux_refine_weight=float(cfg.get("aux_refine_heatmap_weight", 0.0)),
+            teacher_force_prob=float(cfg.get("refine_teacher_force_prob", 0.0)))
 
     writer = MetricWriter(cfg["tensorboard_path"])
     diameter = common.object_diameter(cfg)

@@ -38,7 +38,10 @@ def build_pose_net_lm(cfg, npoint: int):
     )
     if cfg.get("network_type", "vanilla_GNNskip") == "vanilla_GNNskip_ABwoProg":
         return PoseNetWoProg(**kw), True
-    return PoseNet(local_k=int(cfg.get("network_local_k", 2)), **kw), False
+    return PoseNet(
+        local_k=int(cfg.get("network_local_k", 2)),
+        aux_refine_heads=float(cfg.get("aux_refine_heatmap_weight", 0.0)) > 0,
+        **kw), False
 
 
 def main(cfg):
@@ -79,7 +82,11 @@ def main(cfg):
             use_motion_blur=bool(cfg.get("use_motion_blur", True)),
             full_bits=full_bits,
             color_aug_prob=float(cfg.get("color_aug_prob", 0.8)),
-            aux_heatmap_weight=float(cfg.get("aux_heatmap_loss_weight", 0.0)))
+            aux_heatmap_weight=float(cfg.get("aux_heatmap_loss_weight", 0.0)),
+            aux_refine_weight=(0.0 if full_bits else
+                               float(cfg.get("aux_refine_heatmap_weight", 0.0))),
+            teacher_force_prob=(0.0 if full_bits else
+                                float(cfg.get("refine_teacher_force_prob", 0.0))))
 
     writer = MetricWriter(cfg["tensorboard_path"])
     sorted_ids = sorted(cfg["obj_ids"])

@@ -171,6 +171,14 @@ class PoseNet(nn.Module):
     init_num_conv1x1: int = 1
     init_num_graph_module: int = 2
     init_graph_leaky_slope: float = 0.2
+    # Opt-in dense per-keypoint heatmap heads on each UpBlock output (one
+    # conv1x1 -> npoint channels per refine stage), sown as intermediates for
+    # the auxiliary refine heatmap loss (train/steps.py::_aux_refine_loss).
+    # OFF in all reference-parity configs: the reference fine-tunes an
+    # ImageNet-pretrained backbone and needs no bootstrap; from scratch the
+    # refine bits measurably stall at chance without dense supervision
+    # (ACCURACY.md: bits 3-5 ended at 0.24/0.46/0.50 error in a 47k-step run).
+    aux_refine_heads: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -184,12 +192,24 @@ class PoseNet(nn.Module):
 
     @nn.compact
     def __call__(self, img, knn_idx, p3d_normed=None, stage: Optional[int] = None,
-                 train: bool = False):
+                 train: bool = False, tf_gather=None):
         """Returns dict with:
           roi_logit (B, N, 1), x_logits (B, N, res_log2), y_logits likewise
           (first 3 bits from init net, later bits appended per active stage),
           seg_logits (B, h, w, seg_output_dim), x_id/y_id (B, N) final integer
           locations at resolution 2**(3 + stage).
+
+        tf_gather (train-only, opt-in): teacher-forced refine conditioning —
+        a tuple (gt_x_id, gt_y_id, gt_roi, sel) with gt ids (B, N) int32 at
+        2**res_log2 resolution, gt_roi (B, N, 1) f32, sel (B, N) bool. For
+        selected keypoints every refine gather reads the GT cell (its MSB
+        prefix at that stage's resolution) instead of the predicted one, so
+        the refine bits train on a well-posed task ("which half of the TRUE
+        cell holds the keypoint") from step 0 instead of on noise whenever
+        the coarse prediction is wrong. The running predicted ids and the
+        loss labels are unchanged; the reference has no analog because its
+        pretrained backbone makes coarse bits accurate early (see
+        ACCURACY.md). Ignored at inference.
         """
         num_active = self.num_refine_steps if stage is None else stage
         # stage >= 1: the seg head consumes the 256-filter upsampled map, so at
@@ -213,6 +233,10 @@ class PoseNet(nn.Module):
         x_id = _hard_ids(x_logits)
         y_id = _hard_ids(y_logits)
 
+        use_tf = train and tf_gather is not None
+        if use_tf:
+            gt_x_full, gt_y_full, gt_roi, tf_sel = tf_gather
+
         img_feat = feats[-1]
         for i in range(num_active):
             if i > 0:
@@ -220,13 +244,28 @@ class PoseNet(nn.Module):
                     [img_feat, feats[-i - 1].astype(img_feat.dtype)], axis=-1)
             img_feat = UpBlock(self.num_filters, is_convtrans=(i == 0),
                                dtype=self.dtype, name=f"up_{i}")(img_feat, train)
+            if self.aux_refine_heads and train:
+                # dense per-keypoint response map at this refine resolution;
+                # channel -> (B, N, H*W) like InitNet's resp_map
+                r = nn.Conv(self.npoint, (1, 1), dtype=self.dtype,
+                            name=f"aux_resp_{i}")(img_feat)
+                B_, H_, W_, N_ = r.shape
+                self.sow("intermediates", f"refine_resp_{i}",
+                         r.transpose(0, 3, 1, 2).reshape(B_, N_, H_ * W_))
+            if use_tf:
+                shift = self.res_log2 - (3 + i)
+                g_x = jnp.where(tf_sel, gt_x_full >> shift, x_id)
+                g_y = jnp.where(tf_sel, gt_y_full >> shift, y_id)
+                g_roi = jnp.where(tf_sel[..., None], gt_roi, roi_mask)
+            else:
+                g_x, g_y, g_roi = x_id, y_id, roi_mask
             new_bits, graph_feat = RefineBlock(
                 num_filters=self.num_filters, query_dims=self.query_dims,
                 local_k=self.local_k, leaky_slope=self.leaky_slope,
                 num_graph_module=self.num_graph_module,
                 graph_leaky_slope=self.graph_leaky_slope, dtype=self.dtype,
-                name=f"refine_{i}")(img_feat, graph_feat, p3d_normed, roi_mask,
-                                    x_id, y_id, knn_idx, train)
+                name=f"refine_{i}")(img_feat, graph_feat, p3d_normed, g_roi,
+                                    g_x, g_y, knn_idx, train)
             x_logits = jnp.concatenate([x_logits, new_bits[..., 0:1]], axis=-1)
             y_logits = jnp.concatenate([y_logits, new_bits[..., 1:2]], axis=-1)
             x_id = x_id * 2 + _hard_bit(new_bits[..., 0])

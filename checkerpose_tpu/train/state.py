@@ -59,9 +59,13 @@ def create_pose_state(net: PoseNet, knn_idx: np.ndarray, crop_size_img: int,
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     img = jnp.zeros((1, crop_size_img, crop_size_img, 3), jnp.float32)
     p3d = jnp.zeros((1, npoint, 3), jnp.float32)
+    # train=True so train-only submodules (the opt-in aux_refine_heads convs)
+    # create their params; BatchNorm running stats keep their initializer
+    # values during init (flax guards updates with is_initializing), so the
+    # resulting variables are identical to a train=False init otherwise.
     variables = jax.jit(
         net.init, static_argnames=("stage", "train"),
-    )(rng, img, knn_idx, p3d, stage=net.num_refine_steps, train=False)
+    )(rng, img, knn_idx, p3d, stage=net.num_refine_steps, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     if init_params is not None:

@@ -86,6 +86,31 @@ def _aux_heatmap_loss(resp, roi_bit, x_id, y_id, total_bits: int):
     return jnp.sum(ce * m) / jnp.clip(jnp.sum(m), 1.0, None)
 
 
+def _aux_refine_loss(inter, roi_bit, x_id, y_id, res_log2: int, stage: int):
+    """Dense supervision of the UpBlock feature maps at every active refine
+    resolution: softmax-CE of each keypoint's response map (sown by
+    PoseNet(aux_refine_heads=True)) at the GT cell, masked by in-RoI.
+
+    The refine-resolution analog of `_aux_heatmap_loss`: the refine bits read
+    the upsampled maps only through a 4-point gather per keypoint, which
+    starves the maps of localization gradient from a random init (measured:
+    refine bits 3-5 end a 47k-step from-scratch run at 0.24/0.46/0.50 error
+    while init bits crack — ACCURACY.md). OFF (weight 0) in reference-parity
+    configs.
+    """
+    m = roi_bit[..., 0]
+    denom = jnp.clip(jnp.sum(m), 1.0, None)
+    total = 0.0
+    for i in range(stage):
+        r = 4 + i                       # up_i output is 2**(4+i) square
+        resp = inter[f"refine_resp_{i}"][0].astype(jnp.float32)  # (B,N,HW)
+        shift = res_log2 - r
+        cell = ((y_id >> shift) * (1 << r) + (x_id >> shift)).astype(jnp.int32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(resp, cell)
+        total = total + jnp.sum(ce * m) / denom
+    return total / stage
+
+
 def _code_labels_bits(x_id, y_id, total_bits: int, use_bits: int):
     """ids at 2**total_bits resolution -> first `use_bits` MSB code planes
     (B, N, use_bits) f32. MSB-prefix slicing == the reference's
@@ -191,31 +216,43 @@ def make_train_step(net, knn_idx, optimizer: optax.GradientTransformation,
                     stage: int, *, roi_loss_type="BCE", proj_loss_type="BCE",
                     seg_visib_loss_weight=1.0, seg_full_loss_weight=1.0,
                     use_pepper_salt=True, use_motion_blur=True,
-                    full_bits=False, color_aug_prob=0.8, aux_heatmap_weight=0.0):
+                    full_bits=False, color_aug_prob=0.8, aux_heatmap_weight=0.0,
+                    aux_refine_weight=0.0, teacher_force_prob=0.0):
     """Full-pipeline train step; one compiled variant per curriculum stage.
 
     full_bits: the woProg ablation emits all res_log2 bits at every stage
-    (models/ablation.py), so labels span the full code width."""
+    (models/ablation.py), so labels span the full code width.
+    aux_refine_weight: weight of `_aux_refine_loss` (requires the net built
+    with aux_refine_heads=True).
+    teacher_force_prob: per-keypoint probability of teacher-forced refine
+    conditioning (PoseNet tf_gather docstring); 0 = reference parity."""
     res_log2 = net.res_log2
     crop_size_gt = 2 ** res_log2
     active_bits = res_log2 if full_bits else 3 + stage
-    mutable = ["batch_stats"] + (["intermediates"] if aux_heatmap_weight else [])
+    mutable = ["batch_stats"] + (
+        ["intermediates"] if (aux_heatmap_weight or aux_refine_weight) else [])
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: Dict[str, Any], batch, key):
-        imgs = device_augment_normalize(batch["image"], key, use_pepper_salt,
+        k_aug, k_tf = jax.random.split(key)
+        imgs = device_augment_normalize(batch["image"], k_aug, use_pepper_salt,
                                         use_motion_blur, train=True,
                                         color_aug_prob=color_aug_prob)
         roi_bit, x_id, y_id = device_labels(batch, crop_size_gt)
         gt_x, gt_y = _code_labels_bits(x_id, y_id, res_log2, active_bits)
         p3d = batch["p3d_normed"]
         knn_b = knn_for_batch(knn_idx, batch)
+        # only PoseNet takes tf_gather; the woProg ablation has no refine loop
+        tf_kw = {}
+        if teacher_force_prob > 0:
+            sel = jax.random.bernoulli(k_tf, teacher_force_prob, x_id.shape)
+            tf_kw = {"tf_gather": (x_id, y_id, roi_bit, sel)}
 
         def loss_fn(params):
             out, updates = net.apply(
                 {"params": params, "batch_stats": state["batch_stats"]},
                 imgs, knn_b, p3d, stage=stage, train=True,
-                mutable=mutable)
+                mutable=mutable, **tf_kw)
             l_roi = unmasked_code_loss(out["roi_logit"], roi_bit, roi_loss_type)
             l_x = masked_code_loss(out["x_logits"], gt_x, roi_bit, proj_loss_type)
             l_y = masked_code_loss(out["y_logits"], gt_y, roi_bit, proj_loss_type)
@@ -231,6 +268,11 @@ def make_train_step(net, knn_idx, optimizer: optax.GradientTransformation,
                 l_aux = _aux_heatmap_loss(resp, roi_bit, x_id, y_id, res_log2)
                 total = total + aux_heatmap_weight * l_aux
                 metrics = dict(metrics, loss=total, loss_aux=l_aux)
+            if aux_refine_weight:
+                l_ref = _aux_refine_loss(updates["intermediates"], roi_bit,
+                                         x_id, y_id, res_log2, stage)
+                total = total + aux_refine_weight * l_ref
+                metrics = dict(metrics, loss=total, loss_aux_refine=l_ref)
             return total, (updates["batch_stats"], metrics)
 
         (loss, (new_bs, metrics)), grads = jax.value_and_grad(

@@ -289,3 +289,65 @@ def test_train_step_aux_heatmap(setup):
     sd, metrics = step(sd, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["loss_aux"]))
+
+
+def test_train_step_aux_refine_and_teacher_force(setup):
+    """Round-3 accuracy aids: dense refine heatmap heads + teacher-forced
+    refine conditioning (both opt-in; reference parity = off). Covers param
+    creation of the train-only aux convs, the sown-intermediate plumbing at
+    every active stage, and that inference apply ignores the extra params."""
+    p3d, knn = setup
+    net = PoseNet(npoint=NPT, res_log2=6, backbone_name="resnet34",
+                  num_graph_module=1, init_num_graph_module=1,
+                  aux_refine_heads=True, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    state = create_pose_state(net, knn, CROP, opt, NPT)
+    assert "aux_resp_0" in state.params and "aux_resp_2" in state.params
+    sd = {"params": state.params, "batch_stats": state.batch_stats,
+          "opt_state": state.opt_state}
+    step = steps.make_train_step(net, knn, opt, stage=2,
+                                 use_pepper_salt=False, use_motion_blur=False,
+                                 aux_refine_weight=0.5, teacher_force_prob=0.7)
+    rng = np.random.default_rng(5)
+    batch = _fake_batch(rng)
+    batch["p3d_normed"] = np.tile(p3d / 40.0, (2, 1, 1)).astype(np.float32)
+    refs = []
+    for i in range(6):
+        sd, metrics = step(sd, batch, jax.random.PRNGKey(i))
+        refs.append(float(metrics["loss_aux_refine"]))
+    assert np.isfinite(refs).all()
+    assert refs[-1] < refs[0], refs  # dense heads learn the fixed batch
+    # inference path must run with (and ignore) the aux params
+    fwd = steps.make_pose_forward(net, knn, stage=3)
+    out = fwd({"params": sd["params"], "batch_stats": sd["batch_stats"]}, batch)
+    assert out["x_id"].shape == (2, NPT)
+
+
+def test_teacher_force_gathers_gt_cells(setup):
+    """With tf prob 1.0 the refine gather must read the GT MSB-prefix cell:
+    verified by intercepting Index2Feat's ids via identical outputs when the
+    init net is frozen-random but GT ids are fixed (smoke-level: the step must
+    differ from the non-TF step on the same key, and both stay finite)."""
+    p3d, knn = setup
+    net = PoseNet(npoint=NPT, res_log2=6, backbone_name="resnet34",
+                  num_graph_module=1, init_num_graph_module=1, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    state = create_pose_state(net, knn, CROP, opt, NPT)
+    batch = _fake_batch(np.random.default_rng(6))
+    batch["p3d_normed"] = np.tile(p3d / 40.0, (2, 1, 1)).astype(np.float32)
+    outs = []
+    for prob in (0.0, 1.0):
+        # fresh buffers each run: the jitted step donates its state arg
+        sd = jax.tree.map(jnp.array,
+                          {"params": state.params,
+                           "batch_stats": state.batch_stats,
+                           "opt_state": state.opt_state})
+        step = steps.make_train_step(net, knn, opt, stage=3,
+                                     use_pepper_salt=False,
+                                     use_motion_blur=False,
+                                     color_aug_prob=0.0,
+                                     teacher_force_prob=prob)
+        sd, metrics = step(sd, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        outs.append(jax.tree.leaves(sd["params"])[0])
+    assert not np.allclose(np.asarray(outs[0]), np.asarray(outs[1]))
