@@ -167,7 +167,11 @@ def resolve_cfg_lm(cfg_path: str, overrides: Optional[Dict] = None) -> Dict:
     if "bop_path" not in cfg and "datasets_root" in cfg:
         cfg["bop_path"] = cfg["datasets_root"]
     names, syms = get_obj_info(cfg["dataset_name"])
-    cfg["obj_names"] = list(cfg.get("obj_names") or LM13_OBJECTS)
+    obj_names = cfg.get("obj_names")
+    if isinstance(obj_names, str):
+        # cfg-file form: comma- or whitespace-separated object names
+        obj_names = [n for n in obj_names.replace(",", " ").split() if n]
+    cfg["obj_names"] = list(obj_names or LM13_OBJECTS)
     cfg["obj_ids"] = [names[n] for n in cfg["obj_names"]]
     cfg["symmetric_names"] = set(syms)
     for key, base in (("check_point_path", "experiments/checkpoints"),
@@ -204,7 +208,8 @@ def build_train_loaders_lm(cfg: Dict, p3d_table: Dict, seed: int = 0):
                           2 ** int(cfg.get("network_res_log2", 6))))
     common_kw = dict(crop_size_img=crop_img, crop_size_gt=crop_gt,
                      padding_ratio=float(cfg.get("padding_ratio", 1.5)),
-                     resize_method=cfg.get("resize_method", "crop_square_resize"))
+                     resize_method=cfg.get("resize_method", "crop_square_resize"),
+                     frame_cache=_frame_cache(cfg))
     vt = float(cfg.get("train_obj_visible_theshold", 0.1))
     batch = int(cfg["batch_size"])
     bg_paths = None

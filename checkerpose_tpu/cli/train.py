@@ -46,7 +46,9 @@ def load_pretrained_init(cfg, knn, crop_img: int):
     root = cfg.get("init_pretrained_root")
     if not root:
         return None
-    ckpt_dir = os.path.join(root, cfg["obj_name"])
+    # single-object runs nest checkpoints under the object name; the LM
+    # multi-object path uses the shared "lm13" leaf (cli.common.resolve_cfg_lm)
+    ckpt_dir = os.path.join(root, cfg.get("obj_name", "lm13"))
     if not os.path.isdir(ckpt_dir):
         print(f"init_pretrained_root {ckpt_dir} missing; training from scratch")
         return None

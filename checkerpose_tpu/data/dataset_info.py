@@ -39,7 +39,9 @@ _TABLES = {
     "ycbv": (ycbv_obj_name_obj_id, ycbv_symmetry_obj),
     "tless": (tless_obj_name_obj_id, tless_symmetry_obj),
     "tudl": (tudl_obj_name_obj_id, tudl_symmetry_obj),
-    "synth": ({"obj01": 1, "obj02": 2}, set()),  # test fixture dataset
+    # test fixture / synthetic-proof dataset (multi-object LM-style proofs
+    # use obj01..obj04; single-object fixtures only touch obj01/obj02)
+    "synth": ({f"obj{i:02d}": i for i in range(1, 5)}, set()),
 }
 
 

@@ -68,3 +68,30 @@ def test_stage_helpers():
     assert get_train_stage(10, starts) == 2
     assert get_train_stage(19, starts) == 2
     assert get_train_stage(99999, starts) == 3
+
+
+def test_resolve_cfg_lm_obj_names_string(tmp_path):
+    """A cfg-file `obj_names = a,b` list selects the LM object subset (used
+    by the synthetic multi-object proof configs under config/synth)."""
+    from checkerpose_tpu.cli.common import resolve_cfg_lm
+    p = tmp_path / "lm.txt"
+    p.write_text(
+        "dataset_name = synth\n"
+        "obj_names = obj01, obj03\n"
+        "bop_path = /tmp/nowhere\n")
+    cfg = resolve_cfg_lm(str(p))
+    assert cfg["obj_names"] == ["obj01", "obj03"]
+    assert cfg["obj_ids"] == [1, 3]
+    # default: no obj_names key -> the 13-object Linemod benchmark list
+    q = tmp_path / "lm2.txt"
+    q.write_text("dataset_name = lm\nbop_path = /tmp/nowhere\n")
+    cfg2 = resolve_cfg_lm(str(q))
+    assert len(cfg2["obj_names"]) == 13
+
+
+def test_load_pretrained_init_lm_defaults_to_lm13(tmp_path):
+    """Without obj_name (LM multi-object path), the pretrain graft looks
+    under <root>/lm13 and degrades to None when absent (no KeyError)."""
+    from checkerpose_tpu.cli.train import load_pretrained_init
+    cfg = {"init_pretrained_root": str(tmp_path / "missing")}
+    assert load_pretrained_init(cfg, None, 256) is None
