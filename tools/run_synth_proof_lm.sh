@@ -6,6 +6,13 @@
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
+# /tmp is wiped by VM restarts (3 observed during round 2): regenerate the
+# dataset if missing so an unattended relaunch can always proceed (~7 min).
+if [ ! -f /tmp/synth_lm/synth/camera.json ]; then
+  echo "=== dataset missing; regenerating /tmp/synth_lm" >&2
+  CHECKERPOSE_PLATFORM=cpu python -u tools/gen_synth_lm.py /tmp/synth_lm \
+    >> logs/gen_synth_lm.log 2>&1 || { echo "dataset gen FAILED" >&2; exit 1; }
+fi
 SEG=${SEG:-1200}
 PRETRAIN_TOTAL=${PRETRAIN_TOTAL:-5000}
 TRAIN_TOTAL=${TRAIN_TOTAL:-20000}
