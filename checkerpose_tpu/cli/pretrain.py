@@ -79,7 +79,8 @@ def main(cfg):
         total_iteration=int(cfg["total_iteration"]), eval_fn=eval_fn,
         ckpt=ckpt, writer=writer,
         log_freq=int(cfg.get("log_freq", 100)),
-        test_freq=int(cfg.get("test_freq", 1000)))
+        test_freq=int(cfg.get("test_freq", 1000)),
+        save_freq=int(cfg.get("save_freq", 0)) or None)
     writer.close()
     return state
 
@@ -91,6 +92,7 @@ def parse_args():
     p.add_argument("--load_checkpoint", action="store_true")
     p.add_argument("--total_iteration", type=int, default=None)
     p.add_argument("--test_freq", type=int, default=None)
+    p.add_argument("--save_freq", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     return p.parse_args()
 
@@ -101,6 +103,7 @@ if __name__ == "__main__":
         "load_checkpoint": args.load_checkpoint or None,
         "total_iteration": args.total_iteration,
         "test_freq": args.test_freq,
+        "save_freq": args.save_freq,
         "batch_size": args.batch_size,
     })
     main(cfg)

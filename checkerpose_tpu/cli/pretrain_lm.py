@@ -66,7 +66,8 @@ def main(cfg):
         total_iteration=int(cfg["total_iteration"]), eval_fn=eval_fn,
         ckpt=ckpt, writer=writer,
         log_freq=int(cfg.get("log_freq", 1000)),
-        test_freq=int(cfg.get("test_freq", 10000)))
+        test_freq=int(cfg.get("test_freq", 10000)),
+        save_freq=int(cfg.get("save_freq", 0)) or None)
     writer.close()
     return state
 
@@ -77,10 +78,12 @@ if __name__ == "__main__":
     p.add_argument("--load_checkpoint", action="store_true")
     p.add_argument("--total_iteration", type=int, default=None)
     p.add_argument("--test_freq", type=int, default=None)
+    p.add_argument("--save_freq", type=int, default=None)
     args = p.parse_args()
     cfg = common.resolve_cfg_lm(args.cfg, {
         "load_checkpoint": args.load_checkpoint or None,
         "total_iteration": args.total_iteration,
         "test_freq": args.test_freq,
+        "save_freq": args.save_freq,
     })
     main(cfg)

@@ -100,6 +100,15 @@ def main(cfg):
               "UpBlock; the reference's seg conv has the same constraint)",
               flush=True)
 
+    tf_base = float(cfg.get("refine_teacher_force_prob", 0.0))
+    tf_prob = steps.teacher_force_prob_at(
+        int(state.step), tf_base,
+        int(cfg.get("refine_teacher_force_anneal_start", 0)),
+        int(cfg.get("refine_teacher_force_anneal_end", 0)))
+    if tf_prob != tf_base:
+        print(f"teacher forcing annealed {tf_base} -> {tf_prob:.3f} "
+              f"(resume step {int(state.step)})", flush=True)
+
     step_fns = {}
     for stage in range(1, net.num_refine_steps + 1):
         step_fns[stage] = steps.make_train_step(
@@ -113,7 +122,7 @@ def main(cfg):
             color_aug_prob=float(cfg.get("color_aug_prob", 0.8)),
             aux_heatmap_weight=float(cfg.get("aux_heatmap_loss_weight", 0.0)),
             aux_refine_weight=float(cfg.get("aux_refine_heatmap_weight", 0.0)),
-            teacher_force_prob=float(cfg.get("refine_teacher_force_prob", 0.0)))
+            teacher_force_prob=tf_prob)
 
     writer = MetricWriter(cfg["tensorboard_path"])
     diameter = common.object_diameter(cfg)
@@ -146,6 +155,7 @@ def main(cfg):
         ckpt=ckpt, writer=writer,
         log_freq=int(cfg.get("log_freq", 100)),
         test_freq=int(cfg.get("test_freq", 1000)),
+        save_freq=int(cfg.get("save_freq", 0)) or None,
         get_stage=lambda s: max(1, get_train_stage(s, starts)),
         extra_batch=extra_batch)
     writer.close()
@@ -160,6 +170,7 @@ def parse_args():
     p.add_argument("--load_checkpoint", action="store_true")
     p.add_argument("--total_iteration", type=int, default=None)
     p.add_argument("--test_freq", type=int, default=None)
+    p.add_argument("--save_freq", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     return p.parse_args()
 
@@ -170,6 +181,7 @@ if __name__ == "__main__":
         "load_checkpoint": args.load_checkpoint or None,
         "total_iteration": args.total_iteration,
         "test_freq": args.test_freq,
+        "save_freq": args.save_freq,
         "batch_size": args.batch_size,
     })
     main(cfg)

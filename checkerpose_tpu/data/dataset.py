@@ -252,7 +252,13 @@ class CropDataset:
                 # failed decodes are zero-filled by the core and surface as
                 # an empty visib mask -> valid=0; image w/h only matter for
                 # final_bbox clipping under crop_resize (square methods
-                # ignore them)
+                # ignore them) — if crop_resize is ever wired into the
+                # native batch path, this placeholder would silently corrupt
+                # final_bbox, so fail loudly here rather than downstream
+                assert "square" in self.resize_method, (
+                    f"native get_batch uses a placeholder image size that is "
+                    f"only valid for square resize methods, got "
+                    f"{self.resize_method!r}")
                 batch_items[i] = self._sample_dict(
                     s, imgs[ni], mv[ni], mf[ni], b,
                     1.0 if mv[ni].max() > 0 else 0.0,

@@ -222,7 +222,8 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
         for mode in filter_modes:
             report[mode] = {k: 0.0 for k in ("adx02", "adx05", "adx10",
                                              "auc_posecnn", "mean_re_deg",
-                                             "mean_te_mm")}
+                                             "mean_te_mm", "rete2", "rete5",
+                                             "re2", "re5", "te2", "te5")}
         report["seg_acc"] = report["seg_iou"] = 0.0
         report["test_acc"] = 0.0
         return report
@@ -232,9 +233,14 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
         for frac, name in ((0.02, "adx02"), (0.05, "adx05"), (0.10, "adx10")):
             res_m[name] = float((errs < frac * diameter).mean())
         res_m["auc_posecnn"] = M.compute_auc_posecnn(errs / 1000.0)
-        res_m["mean_re_deg"] = float(np.mean(np.concatenate(per_mode_re[mode])))
+        re = np.concatenate(per_mode_re[mode])
         te = np.concatenate(per_mode_te[mode])
+        res_m["mean_re_deg"] = float(np.mean(re))
         res_m["mean_te_mm"] = float(np.mean(te[np.isfinite(te)])) if np.isfinite(te).any() else float("inf")
+        # rotation/translation pass rates (reference test_lm.py:319-327);
+        # failed solves carry re=180, te=inf and so fail every threshold,
+        # matching the reference's nan->10000
+        res_m.update(M.rete_pass_rates(re, te))
         report[mode] = res_m
     report["seg_acc"] = float(np.mean(seg_acc)) if seg_acc else 1.0
     report["seg_iou"] = float(np.mean(seg_iou)) if seg_iou else 1.0

@@ -168,3 +168,21 @@ def batched_pose_errors(R_est, t_est, R_gt, t_gt, pts, use_adi: bool = False,
         re = jax.vmap(one)(R_est, R_gt)
     te = jax.vmap(te_error)(t_est, t_gt)
     return {"adx": adx, "re": re, "te": te}
+
+
+def rete_pass_rates(re_deg: np.ndarray, te_mm: np.ndarray) -> dict:
+    """Rotation/translation pass rates at the reference's thresholds
+    (reference test_lm.py:319-327): rete2 = re<2deg AND te<20mm, rete5 =
+    re<5deg AND te<50mm, plus the individual re@2/5deg and te@20/50mm rates.
+    Failed solves should carry re=180 / te=inf (the reference maps NaN to
+    10000) so they fail every threshold."""
+    re_deg = np.asarray(re_deg, np.float64)
+    te_mm = np.asarray(te_mm, np.float64)
+    return {
+        "rete2": float(((re_deg < 2.0) & (te_mm < 20.0)).mean()),
+        "rete5": float(((re_deg < 5.0) & (te_mm < 50.0)).mean()),
+        "re2": float((re_deg < 2.0).mean()),
+        "re5": float((re_deg < 5.0).mean()),
+        "te2": float((te_mm < 20.0).mean()),
+        "te5": float((te_mm < 50.0).mean()),
+    }

@@ -10,6 +10,7 @@ on filesystem writes.
 """
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -49,6 +50,22 @@ class CheckpointManager:
 
     def save_best(self, state: TrainState):
         self.best_mgr.save(state.step, args=ocp.args.StandardSave(_to_pytree(state)))
+        # Side-record the best score so rolling checkpoints saved BEFORE an
+        # eval (loop.py's wedge-proof pre-eval save) can't stale it: restore
+        # takes max(ckpt best_score, this file). Atomic write (tmp+rename).
+        tmp = os.path.join(self.dir, ".best_score.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"step": int(state.step),
+                       "best_score": float(state.best_score)}, f)
+        os.replace(tmp, os.path.join(self.dir, "best_score.json"))
+
+    def _best_score_floor(self) -> float:
+        path = os.path.join(self.dir, "best_score.json")
+        try:
+            with open(path) as f:
+                return float(json.load(f)["best_score"])
+        except (OSError, ValueError, KeyError):
+            return float("-inf")
 
     def wait(self):
         self.mgr.wait_until_finished()
@@ -66,11 +83,14 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint found in {self.dir}")
         restored = mgr.restore(
             step, args=ocp.args.StandardRestore(_to_pytree(state)))
+        best_score = float(restored["best_score"])
+        if not best:
+            best_score = max(best_score, self._best_score_floor())
         return TrainState(params=restored["params"],
                           batch_stats=restored["batch_stats"],
                           opt_state=restored["opt_state"],
                           step=int(restored["step"]),
-                          best_score=float(restored["best_score"]))
+                          best_score=best_score)
 
     def restore_eval(self, state: TrainState, step: Optional[int] = None,
                      best: bool = False) -> TrainState:
@@ -88,8 +108,11 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {self.dir}")
         raw = mgr.restore(step)
+        best_score = float(raw["best_score"])
+        if not best:
+            best_score = max(best_score, self._best_score_floor())
         return TrainState(params=raw["params"],
                           batch_stats=raw["batch_stats"],
                           opt_state=state.opt_state,
                           step=int(raw["step"]),
-                          best_score=float(raw["best_score"]))
+                          best_score=best_score)

@@ -22,6 +22,7 @@ def run_training(*, state: TrainState, step_fns, loader: Iterable,
                  total_iteration: int, eval_fn: Callable[[Dict], Dict],
                  ckpt: CheckpointManager, writer: MetricWriter,
                  log_freq: int = 100, test_freq: int = 1000,
+                 save_freq: Optional[int] = None,
                  get_stage: Optional[Callable[[int], int]] = None,
                  extra_batch: Optional[Callable[[Dict], Dict]] = None,
                  mesh=None, seed: int = 0, sync_freq: int = 8) -> TrainState:
@@ -29,6 +30,13 @@ def run_training(*, state: TrainState, step_fns, loader: Iterable,
       step_fns: dict stage->jitted step (or {None: step} when no curriculum);
         each maps (state_dict, batch, key) -> (state_dict, metrics).
       eval_fn: state_dict -> metrics dict with "test_acc" gating best ckpt.
+      save_freq: rolling-checkpoint cadence, decoupled from test_freq
+        (defaults to test_freq). The rolling save happens BEFORE any eval at
+        the same step: the tunneled TPU client can wedge with zero CPU inside
+        an eval sweep (observed 2026-08-19: a segment died at its final eval
+        and lost all 1200 steps), so the segment's work must already be on
+        disk when the eval starts. Best-score freshness across the reordering
+        is kept by CheckpointManager's best_score.json side record.
       get_stage: step -> curriculum stage (config.get_train_stage).
       extra_batch: hook to add derived fields (e.g. broadcast p3d_normed).
       sync_freq: materialize a result scalar on the host every N steps.
@@ -51,8 +59,11 @@ def run_training(*, state: TrainState, step_fns, loader: Iterable,
     data_iter = iter(loader)
 
     inflight = []
+    loader_wait = 0.0  # time blocked on the input pipeline this log window
     while step_no < total_iteration:
+        t_fetch = time.time()
         batch = next(data_iter)
+        loader_wait += time.time() - t_fetch
         batch.pop("n_real", None)
         if extra_batch is not None:
             batch = extra_batch(batch)
@@ -81,31 +92,38 @@ def run_training(*, state: TrainState, step_fns, loader: Iterable,
             dt = (time.time() - t_last) / log_freq
             t_last = time.time()
             m["step_time_s"] = dt
+            # input-vs-compute attribution (VERDICT r2 #7): average time per
+            # step the loop was BLOCKED waiting on the input pipeline
+            m["loader_wait_s"] = loader_wait / log_freq
+            loader_wait = 0.0
             eta_h = dt * (total_iteration - step_no) / 3600.0
             writer.add_scalars({f"TRAIN/{k}": v for k, v in m.items()}, step_no)
             print(f"step {step_no}/{total_iteration} "
                   + " ".join(f"{k}={v:.4f}" for k, v in m.items())
                   + f" eta={eta_h:.2f}h", flush=True)
 
-        if step_no % test_freq == 0 or step_no == total_iteration:
-            # eval BEFORE the rolling save so the checkpoint carries the
-            # up-to-date best_score: the segmented-restart workflow (CLAUDE.md
-            # rule 6b) resumes from the rolling checkpoint, and a stale best
-            # there would let a later, worse model overwrite the best ckpt
+        at_end = step_no == total_iteration
+        if step_no % (save_freq or test_freq) == 0 or at_end:
+            # save BEFORE eval (see save_freq docstring): the eval sweep is
+            # where tunnel wedges strike, and it must not hold the segment's
+            # steps hostage. best_score staleness is covered by the
+            # best_score.json floor applied on restore.
+            ckpt.save(TrainState(params=sd["params"],
+                                 batch_stats=sd["batch_stats"],
+                                 opt_state=sd["opt_state"], step=step_no,
+                                 best_score=best))
+        if step_no % test_freq == 0 or at_end:
             ev = eval_fn({"params": sd["params"],
                           "batch_stats": sd["batch_stats"]})
             writer.add_scalar("TESTDATA_ACC/ACC_test", ev["test_acc"], step_no)
             print(f"eval @ {step_no}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in ev.items()
                 if isinstance(v, (int, float))), flush=True)
-            improved = ev["test_acc"] > best
-            best = max(best, ev["test_acc"])
-            cur = TrainState(params=sd["params"], batch_stats=sd["batch_stats"],
-                             opt_state=sd["opt_state"], step=step_no,
-                             best_score=best)
-            ckpt.save(cur)
-            if improved:
-                ckpt.save_best(cur)
+            if ev["test_acc"] > best:
+                best = ev["test_acc"]
+                ckpt.save_best(TrainState(
+                    params=sd["params"], batch_stats=sd["batch_stats"],
+                    opt_state=sd["opt_state"], step=step_no, best_score=best))
 
     ckpt.wait()
     return TrainState(params=sd["params"], batch_stats=sd["batch_stats"],

@@ -26,6 +26,25 @@ from checkerpose_tpu.losses import (masked_code_loss, unmasked_code_loss,
 from checkerpose_tpu.ops import augment, codes, crop, geometry
 
 
+def teacher_force_prob_at(step: int, base: float, anneal_start: int,
+                          anneal_end: int) -> float:
+    """Scheduled-sampling anneal for the teacher-forced refine conditioning.
+
+    Teacher forcing (tf_gather in models/posenet.py) makes the fine-bit task
+    well-posed from step 0, but inference always conditions on the PREDICTED
+    prefix cell, so a constant probability leaves a train/eval distribution
+    gap on the refine inputs. Linear decay from `base` (steps <= anneal_start)
+    to 0 (steps >= anneal_end) closes the gap before the low-lr fine-tune
+    phase. The probability is static under jit; the segmented-restart drivers
+    (tools/run_synth_proof*.sh) re-build the step fns every ~1200 steps, so a
+    per-segment constant evaluated at the segment's resume step approximates
+    the schedule piecewise. anneal_end <= anneal_start disables the anneal."""
+    if base <= 0.0 or anneal_end <= anneal_start:
+        return base
+    frac = (step - anneal_start) / float(anneal_end - anneal_start)
+    return base * min(1.0, max(0.0, 1.0 - frac))
+
+
 def knn_for_batch(knn_idx, batch):
     """Single-object: static (N, K) index used as-is. Multi-object (LM): a
     stacked (O, N, K) table gathered per sample by batch["obj_idx"] -- the

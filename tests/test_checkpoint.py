@@ -82,3 +82,27 @@ def test_best_checkpoint_separate(tmp_path):
     assert best.step == 10 and abs(best.best_score - 0.7) < 1e-6  # f32 roundtrip
     np.testing.assert_array_equal(np.asarray(best.params["dense"]["kernel"]),
                                   np.ones((4, 4)))
+
+
+def test_best_score_floor_survives_pre_eval_save(tmp_path):
+    """loop.py saves the rolling checkpoint BEFORE the eval at the same step
+    (wedge-proofing: a tunnel stall inside eval must not lose the segment),
+    so the rolling ckpt can carry a stale best_score. save_best side-records
+    the score in best_score.json and restore floors with it, so a resumed
+    segment can never let a worse model overwrite the best checkpoint."""
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    # step 10: rolling save (best still 0.5), then eval improves to 0.9
+    mgr.save(_mk_state(10))
+    st = _mk_state(10)
+    st.best_score = 0.9
+    mgr.save_best(st)
+    mgr.wait()
+    # resume from the rolling ckpt: best_score must be the FLOORED 0.9,
+    # not the stale 0.5 stored inside the rolling payload
+    restored = mgr.restore(_mk_state(0))
+    assert abs(restored.best_score - 0.9) < 1e-6
+    restored_eval = mgr.restore_eval(_mk_state(0))
+    assert abs(restored_eval.best_score - 0.9) < 1e-6
+    # the best ckpt itself reports its own score unfloored
+    best = mgr.restore(_mk_state(0), best=True)
+    assert abs(best.best_score - 0.9) < 1e-6

@@ -73,3 +73,27 @@ def test_config_stage_curriculum():
     assert get_train_stage(1500, starts) == 2
     assert get_train_stage(99999, starts) == 3
     assert stage_start_steps({}) is None
+
+
+def test_legacy_corres_dict_roundtrip(tmp_path):
+    """load_corres_dict parses the ZebraPose txt format (reference
+    CNN_output_to_pose.py:6-28) and feeds coarsen_corres_dict."""
+    from checkerpose_tpu.ops.legacy_codes import (coarsen_corres_dict,
+                                                  load_corres_dict)
+    p = tmp_path / "dict.txt"
+    lines = ["65536 2 16"]
+    rng = np.random.default_rng(0)
+    pts = {i: rng.normal(size=3) * 50 for i in range(8)}
+    for i, v in pts.items():
+        lines.append(f"{i} {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}")
+    p.write_text("\n".join(lines) + "\n")
+    total, divide, iters, table = load_corres_dict(str(p))
+    assert (total, divide, iters) == (65536.0, 2.0, 16.0)
+    assert set(table) == set(range(8))
+    np.testing.assert_allclose(table[3], pts[3], atol=1e-5)
+    # coarsen by 15 bits: ids 0..7 live in cell 0 of a 1-bit dict... use the
+    # real semantics: ids are 16-bit, so coarsening to 13 bits shifts by 3
+    coarse = coarsen_corres_dict(table, 13)
+    assert set(coarse) == {0}
+    np.testing.assert_allclose(
+        coarse[0], np.mean([pts[i] for i in range(8)], axis=0), atol=1e-5)

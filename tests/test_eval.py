@@ -173,3 +173,19 @@ def test_official_matching_two_instance_scene():
     # official matching must not
     ar_both = official_average_recall(groups, [0.1, 0.03])
     assert abs(ar_both - 0.75) < 1e-9
+
+
+def test_rete_pass_rates_thresholds():
+    """Hand-built re/te straddling every threshold (reference
+    test_lm.py:319-327 semantics: rete2 = re<2 AND te<20, @5 = re<5/te<50;
+    failed solves carry re=180/te=inf and must fail everything)."""
+    re = np.array([1.9, 1.9, 4.9, 2.0, 5.0, 180.0])
+    te = np.array([19.0, 49.0, 19.0, 19.0, 50.0, np.inf])
+    r = M.rete_pass_rates(re, te)
+    assert r["re2"] == 2 / 6          # 1.9, 1.9 (strict <2, 2.0 fails)
+    assert r["re5"] == 4 / 6          # + 4.9, 2.0 (strict <5, 5.0 fails)
+    assert r["te2"] == 3 / 6          # the three 19s (strict <20)
+    assert r["te5"] == 4 / 6          # + 49 (strict <50, 50.0 fails)
+    assert r["rete2"] == 1 / 6        # only (1.9,19); (1.9,49) fails te,
+                                      # (2.0,19) fails re
+    assert r["rete5"] == 4 / 6        # (1.9,19), (1.9,49), (4.9,19), (2.0,19)

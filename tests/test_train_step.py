@@ -153,8 +153,14 @@ def test_evaluate_pipeline_stacked_modes(setup):
         stage=3, use_adi=False, num_hyp=16, sym_rots=sym,
         filter_modes=("none", "full", "visib"), main_filter="none")
     for mode in ("none", "full", "visib"):
-        assert {"adx02", "adx05", "adx10", "mean_re_deg"} <= set(report[mode])
+        assert {"adx02", "adx05", "adx10", "mean_re_deg",
+                "rete2", "rete5", "re2", "re5", "te2", "te5"} <= set(report[mode])
         assert 0.0 <= report[mode]["adx10"] <= 1.0
+        # pass-rate monotonicity: joint <= each individual, @2 <= @5
+        rm = report[mode]
+        assert rm["rete2"] <= min(rm["re2"], rm["te2"]) + 1e-9
+        assert rm["rete5"] <= min(rm["re5"], rm["te5"]) + 1e-9
+        assert rm["re2"] <= rm["re5"] + 1e-9 and rm["te2"] <= rm["te5"] + 1e-9
     assert len(report["poses"]) == 2
     assert report["test_acc"] == report["none"]["adx10"]
     # sym-closest re can never exceed plain re
@@ -351,3 +357,17 @@ def test_teacher_force_gathers_gt_cells(setup):
         assert np.isfinite(float(metrics["loss"]))
         outs.append(jax.tree.leaves(sd["params"])[0])
     assert not np.allclose(np.asarray(outs[0]), np.asarray(outs[1]))
+
+
+def test_teacher_force_anneal_schedule():
+    """Scheduled-sampling decay (cli.train wiring): constant before
+    anneal_start, linear to 0 at anneal_end, 0 after; disabled when the
+    window is empty or base is 0."""
+    f = steps.teacher_force_prob_at
+    assert f(0, 0.5, 12000, 20000) == 0.5
+    assert f(12000, 0.5, 12000, 20000) == 0.5
+    assert abs(f(16000, 0.5, 12000, 20000) - 0.25) < 1e-12
+    assert f(20000, 0.5, 12000, 20000) == 0.0
+    assert f(99999, 0.5, 12000, 20000) == 0.0
+    assert f(5000, 0.5, 0, 0) == 0.5          # disabled window
+    assert f(5000, 0.0, 12000, 20000) == 0.0  # no teacher forcing at all

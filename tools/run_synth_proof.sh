@@ -9,12 +9,23 @@ cd /root/repo
 # keep /root/.axon_site on the path: its sitecustomize registers the axon
 # TPU backend (JAX_PLATFORMS=axon fails hard without it)
 export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
+# /tmp is wiped by VM restarts: regenerate the dataset if missing (~20 min)
+# so an unattended relaunch can always proceed.
+if [ ! -f /tmp/synth_scale3/synth/camera.json ]; then
+  echo "=== dataset missing; regenerating /tmp/synth_scale3" >&2
+  CHECKERPOSE_PLATFORM=cpu python -u tools/gen_synth_scale.py /tmp/synth_scale3 \
+    >> logs/gen_synth.log 2>&1 || { echo "dataset gen FAILED" >&2; exit 1; }
+fi
 # SEG ~ sqrt(2*restart_cost/degradation_rate): 0.18 s/step fresh, +1.8e-4
 # s/step^2 measured -> optimum near 1000-1500 steps/segment.
 SEG=${SEG:-1200}
 PRETRAIN_TOTAL=${PRETRAIN_TOTAL:-14000}
 TRAIN_TOTAL=${TRAIN_TOTAL:-80000}
 TEST_FREQ=${TEST_FREQ:-2000}
+# rolling-save cadence, decoupled from eval: the tunnel wedges with zero CPU
+# inside eval sweeps (2026-08-19 lost a full 1200-step segment that way);
+# with saves every 600 steps a wedge costs <=600 steps instead of a segment
+SAVE_FREQ=${SAVE_FREQ:-600}
 PCFG=config/synth/init_gnn2_hrnetw18_npt512_synth.txt
 TCFG=config/synth/hr18GNN2_res6_gnn3Skip_mlpQuery_synth.txt
 
@@ -63,7 +74,7 @@ while true; do
   echo "=== pretrain segment -> $tgt (from $cur)" >&2
   run_watchdogged nice -n -5 python -u -m checkerpose_tpu.cli.pretrain --cfg "$PCFG" \
     --obj_name obj01 --load_checkpoint --total_iteration "$tgt" \
-    --test_freq "$TEST_FREQ" \
+    --test_freq "$TEST_FREQ" --save_freq "$SAVE_FREQ" \
     || { echo "pretrain segment failed" >&2; sleep 10; }
 done
 echo "=== pretrain complete at $PRETRAIN_TOTAL" >&2
@@ -76,12 +87,12 @@ while true; do
   echo "=== train segment -> $tgt (from $cur)" >&2
   if [ "$cur" -eq 0 ]; then
     run_watchdogged nice -n -5 python -u -m checkerpose_tpu.cli.train --cfg "$TCFG" \
-      --obj_name obj01 --total_iteration "$tgt" --test_freq "$TEST_FREQ" \
+      --obj_name obj01 --total_iteration "$tgt" --test_freq "$TEST_FREQ" --save_freq "$SAVE_FREQ" \
       || { echo "train segment failed" >&2; sleep 10; }
   else
     run_watchdogged nice -n -5 python -u -m checkerpose_tpu.cli.train --cfg "$TCFG" \
       --obj_name obj01 --load_checkpoint --total_iteration "$tgt" \
-      --test_freq "$TEST_FREQ" \
+      --test_freq "$TEST_FREQ" --save_freq "$SAVE_FREQ" \
       || { echo "train segment failed" >&2; sleep 10; }
   fi
 done

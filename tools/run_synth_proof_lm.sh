@@ -17,6 +17,10 @@ SEG=${SEG:-1200}
 PRETRAIN_TOTAL=${PRETRAIN_TOTAL:-5000}
 TRAIN_TOTAL=${TRAIN_TOTAL:-20000}
 TEST_FREQ=${TEST_FREQ:-2000}
+# rolling-save cadence decoupled from eval (wedge-proofing, see
+# tools/run_synth_proof.sh): a tunnel stall inside an eval sweep costs
+# <=SAVE_FREQ steps instead of a whole segment
+SAVE_FREQ=${SAVE_FREQ:-600}
 PCFG=config/synth/init_gnn2_hrnetw18_npt512_synthlm.txt
 TCFG=config/synth/hr18GNN2_res6_gnn3Skip_mlpQuery_synthlm.txt
 
@@ -57,6 +61,7 @@ while true; do
   echo "=== pretrain_lm segment -> $tgt (from $cur)" >&2
   run_watchdogged nice -n -5 python -u -m checkerpose_tpu.cli.pretrain_lm --cfg "$PCFG" \
     --load_checkpoint --total_iteration "$tgt" --test_freq "$TEST_FREQ" \
+    --save_freq "$SAVE_FREQ" \
     || { echo "pretrain_lm segment failed" >&2; sleep 10; }
 done
 echo "=== pretrain_lm complete at $PRETRAIN_TOTAL" >&2
@@ -69,11 +74,12 @@ while true; do
   echo "=== train_lm segment -> $tgt (from $cur)" >&2
   if [ "$cur" -eq 0 ]; then
     run_watchdogged nice -n -5 python -u -m checkerpose_tpu.cli.train_lm --cfg "$TCFG" \
-      --total_iteration "$tgt" --test_freq "$TEST_FREQ" \
+      --total_iteration "$tgt" --test_freq "$TEST_FREQ" --save_freq "$SAVE_FREQ" \
       || { echo "train_lm segment failed" >&2; sleep 10; }
   else
     run_watchdogged nice -n -5 python -u -m checkerpose_tpu.cli.train_lm --cfg "$TCFG" \
       --load_checkpoint --total_iteration "$tgt" --test_freq "$TEST_FREQ" \
+      --save_freq "$SAVE_FREQ" \
       || { echo "train_lm segment failed" >&2; sleep 10; }
   fi
 done
