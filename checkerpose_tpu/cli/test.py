@@ -32,12 +32,21 @@ def main(cfg):
 
     ckpt_dir = cfg.get("ckpt_dir") or cfg["check_point_path"]
     mgr = CheckpointManager(ckpt_dir)
-    try:
-        state = mgr.restore_eval(state, best=True)
-        print(f"loaded BEST checkpoint (step {state.step}) from {ckpt_dir}")
-    except FileNotFoundError:
+    # default = best checkpoint (reference test.py gets an explicit iteration
+    # via get_checkpoint; our best-gating mirrors its "use the best eval"
+    # workflow). use_latest evaluates the newest rolling checkpoint instead —
+    # needed when the best-gate metric changed mid-run (e.g. decode_conf_tau
+    # retuning) and the recorded best is stale.
+    if cfg.get("use_latest"):
         state = mgr.restore_eval(state)
-        print(f"loaded latest checkpoint (step {state.step}) from {ckpt_dir}")
+        print(f"loaded LATEST checkpoint (step {state.step}) from {ckpt_dir}")
+    else:
+        try:
+            state = mgr.restore_eval(state, best=True)
+            print(f"loaded BEST checkpoint (step {state.step}) from {ckpt_dir}")
+        except FileNotFoundError:
+            state = mgr.restore_eval(state)
+            print(f"loaded latest checkpoint (step {state.step}) from {ckpt_dir}")
 
     res = 2 ** net.res_log2
     loader, samples = common.build_test_loader(
@@ -116,6 +125,8 @@ def parse_args():
     p.add_argument("--decode_mode", default=None,
                    choices=("hard", "soft", "adaptive"))
     p.add_argument("--decode_conf_tau", type=float, default=None)
+    p.add_argument("--use_latest", action="store_true",
+                   help="evaluate the latest rolling checkpoint, not best")
     return p.parse_args()
 
 
@@ -129,5 +140,6 @@ if __name__ == "__main__":
         "test_batch_size": args.test_batch_size,
         "decode_mode": args.decode_mode,
         "decode_conf_tau": args.decode_conf_tau,
+        "use_latest": args.use_latest or None,
     })
     main(cfg)
