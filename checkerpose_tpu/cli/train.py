@@ -122,7 +122,8 @@ def main(cfg):
             color_aug_prob=float(cfg.get("color_aug_prob", 0.8)),
             aux_heatmap_weight=float(cfg.get("aux_heatmap_loss_weight", 0.0)),
             aux_refine_weight=float(cfg.get("aux_refine_heatmap_weight", 0.0)),
-            teacher_force_prob=tf_prob)
+            teacher_force_prob=tf_prob,
+            coord_reg_weight=float(cfg.get("coord_reg_loss_weight", 0.0)))
 
     writer = MetricWriter(cfg["tensorboard_path"])
     diameter = common.object_diameter(cfg)

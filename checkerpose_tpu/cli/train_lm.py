@@ -94,7 +94,8 @@ def main(cfg):
             aux_heatmap_weight=float(cfg.get("aux_heatmap_loss_weight", 0.0)),
             aux_refine_weight=(0.0 if full_bits else
                                float(cfg.get("aux_refine_heatmap_weight", 0.0))),
-            teacher_force_prob=tf_prob)
+            teacher_force_prob=tf_prob,
+            coord_reg_weight=float(cfg.get("coord_reg_loss_weight", 0.0)))
 
     writer = MetricWriter(cfg["tensorboard_path"])
     sorted_ids = sorted(cfg["obj_ids"])

@@ -66,6 +66,56 @@ def device_labels(batch: Dict[str, jnp.ndarray], crop_size_gt: int):
     return roi_bit[..., None], x_id, y_id
 
 
+def continuous_rel_coords(batch: Dict[str, jnp.ndarray], crop_size_gt: int):
+    """CONTINUOUS (un-truncated) keypoint coordinates in GT-crop cells.
+
+    Same geometry as `geometry.make_code_labels` minus the trunc: returns
+    x_rel/y_rel (B, N) f32 in [0, crop_size_gt) for in-roi keypoints.
+    Feeds the coordinate-space regression aux loss (`_coord_reg_loss`),
+    which needs the sub-cell target the per-bit BCE throws away.
+    """
+    S = crop_size_gt
+    bbox = batch["bbox"]
+
+    def one(proj_xy, bb):
+        degenerate = (bb[2] <= 0) | (bb[3] <= 0)
+        px = jnp.where(degenerate, 1.0, bb[2].astype(jnp.float32) / S)
+        py = jnp.where(degenerate, 1.0, bb[3].astype(jnp.float32) / S)
+        return ((proj_xy[:, 0] - bb[0]) / px, (proj_xy[:, 1] - bb[1]) / py)
+
+    return jax.vmap(one)(batch["proj_xy"], bbox)
+
+
+def _coord_reg_loss(x_logits, y_logits, x_rel, y_rel, roi_bit,
+                    active_bits: int, res_log2: int):
+    """Coordinate-space L1 between the sigmoid-EXPECTED id and the
+    continuous GT coordinate, masked by the in-RoI bit.
+
+    Why: per-bit BCE treats bits independently and cannot see coordinate-
+    space bias — the round-3 proof run measured a per-image -4% radial
+    shrinkage of the decoded field (tools/diag_scale_bias.py) that per-bit
+    losses never penalize directly. E[id] = sum sigmoid(l_i) 2^(L-1-i) is
+    the decoder's own expectation; pulling it to (x_rel - 0.5) at the
+    active-bit resolution is a direct, differentiable anti-bias signal.
+    Normalized by the active resolution so the weight is stage-stable.
+    Opt-in (coord_reg_loss_weight, default 0 = reference parity; the
+    reference trains pure per-bit BCE, losses/code_loss.py).
+    """
+    L = active_bits
+    w = 2.0 ** jnp.arange(L - 1, -1, -1, dtype=jnp.float32)
+    ex = jnp.sum(jax.nn.sigmoid(x_logits.astype(jnp.float32)) * w, axis=-1)
+    ey = jnp.sum(jax.nn.sigmoid(y_logits.astype(jnp.float32)) * w, axis=-1)
+    scale = 2.0 ** (res_log2 - active_bits)   # GT cells per active-bit cell
+    # target in active-bit units; -0.5 because ids floor (cell corner):
+    # a perfectly calibrated E[id] equals the continuous coord - 0.5
+    tx = x_rel / scale - 0.5
+    ty = y_rel / scale - 0.5
+    m = roi_bit[..., 0]
+    n = jnp.maximum(jnp.sum(m), 1.0)
+    res = 2.0 ** active_bits
+    return (jnp.sum(jnp.abs(ex - tx) * m) + jnp.sum(jnp.abs(ey - ty) * m)) / (2.0 * n * res)
+
+
 def device_augment_normalize(images_u8, key, use_pepper_salt, use_motion_blur,
                              train: bool, color_aug_prob: float = 0.8):
     imgs = images_u8.astype(jnp.float32)
@@ -236,7 +286,8 @@ def make_train_step(net, knn_idx, optimizer: optax.GradientTransformation,
                     seg_visib_loss_weight=1.0, seg_full_loss_weight=1.0,
                     use_pepper_salt=True, use_motion_blur=True,
                     full_bits=False, color_aug_prob=0.8, aux_heatmap_weight=0.0,
-                    aux_refine_weight=0.0, teacher_force_prob=0.0):
+                    aux_refine_weight=0.0, teacher_force_prob=0.0,
+                    coord_reg_weight=0.0):
     """Full-pipeline train step; one compiled variant per curriculum stage.
 
     full_bits: the woProg ablation emits all res_log2 bits at every stage
@@ -292,6 +343,13 @@ def make_train_step(net, knn_idx, optimizer: optax.GradientTransformation,
                                          x_id, y_id, res_log2, stage)
                 total = total + aux_refine_weight * l_ref
                 metrics = dict(metrics, loss=total, loss_aux_refine=l_ref)
+            if coord_reg_weight:
+                x_rel, y_rel = continuous_rel_coords(batch, crop_size_gt)
+                l_coord = _coord_reg_loss(out["x_logits"], out["y_logits"],
+                                          x_rel, y_rel, roi_bit,
+                                          active_bits, res_log2)
+                total = total + coord_reg_weight * l_coord
+                metrics = dict(metrics, loss=total, loss_coord=l_coord)
             return total, (updates["batch_stats"], metrics)
 
         (loss, (new_bs, metrics)), grads = jax.value_and_grad(

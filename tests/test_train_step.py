@@ -371,3 +371,66 @@ def test_teacher_force_anneal_schedule():
     assert f(99999, 0.5, 12000, 20000) == 0.0
     assert f(5000, 0.5, 0, 0) == 0.5          # disabled window
     assert f(5000, 0.0, 12000, 20000) == 0.0  # no teacher forcing at all
+
+
+def test_coord_reg_loss_math():
+    """_coord_reg_loss: zero for a perfectly calibrated expectation, larger
+    for a radially-shrunk field (the bias mode it exists to penalize,
+    ACCURACY.md finding 5), and masked by roi_bit."""
+    rng = np.random.default_rng(3)
+    B, N, L = 2, 64, 6
+    x_rel = rng.uniform(0, 64, (B, N)).astype(np.float32)
+    y_rel = rng.uniform(0, 64, (B, N)).astype(np.float32)
+    roi = np.ones((B, N, 1), np.float32)
+
+    def logits_for(target_ids):
+        # large +-logits reproducing the binary code of round(target - .5)
+        ids = np.clip(np.round(target_ids - 0.5), 0, 63).astype(np.int64)
+        bits = (ids[..., None] >> np.arange(L - 1, -1, -1)) & 1
+        return (bits * 2.0 - 1.0) * 12.0  # sigmoid ~ {0,1}
+
+    # calibrated: E[id] = floor-ish(target - .5) -> |err| <= quantization
+    lx = jnp.asarray(logits_for(x_rel))
+    ly = jnp.asarray(logits_for(y_rel))
+    l_cal = float(steps._coord_reg_loss(lx, ly, jnp.asarray(x_rel),
+                                        jnp.asarray(y_rel), jnp.asarray(roi),
+                                        L, L))
+    assert l_cal < 0.55 / 64  # within half-cell quantization / res norm
+    # radially shrunk field (4% toward the centroid): loss must grow
+    cx, cy = x_rel.mean(), y_rel.mean()
+    sx = cx + (x_rel - cx) * 0.96
+    sy = cy + (y_rel - cy) * 0.96
+    l_shrunk = float(steps._coord_reg_loss(
+        jnp.asarray(logits_for(sx)), jnp.asarray(logits_for(sy)),
+        jnp.asarray(x_rel), jnp.asarray(y_rel), jnp.asarray(roi), L, L))
+    assert l_shrunk > l_cal * 1.5
+    # mask: zeroing roi ignores arbitrarily wrong logits
+    l_masked = float(steps._coord_reg_loss(
+        -lx, -ly, jnp.asarray(x_rel), jnp.asarray(y_rel),
+        jnp.asarray(np.zeros_like(roi)), L, L))
+    assert l_masked == 0.0
+
+
+def test_train_step_with_coord_reg(setup):
+    """coord_reg_weight wires through make_train_step: loss_coord reported
+    finite and the step still updates params."""
+    p3d, knn = setup
+    net = PoseNet(npoint=NPT, res_log2=6, backbone_name="resnet34",
+                  num_graph_module=1, init_num_graph_module=1,
+                  dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    state = create_pose_state(net, knn, CROP, opt, NPT)
+    step = steps.make_train_step(net, knn, opt, stage=1,
+                                 use_pepper_salt=False, use_motion_blur=False,
+                                 color_aug_prob=0.0, coord_reg_weight=1.0)
+    rng = np.random.default_rng(5)
+    batch = _fake_batch(rng)
+    batch["p3d_normed"] = np.tile(steps.geometry.pc_normalize(p3d)[None],
+                                  (2, 1, 1)).astype(np.float32)
+    sd = {"params": state.params, "batch_stats": state.batch_stats,
+          "opt_state": state.opt_state}
+    before = np.asarray(jax.tree.leaves(sd["params"])[0]).copy()
+    sd, m = step(sd, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss_coord"]))
+    assert float(m["loss_coord"]) > 0.0
+    assert not np.allclose(before, np.asarray(jax.tree.leaves(sd["params"])[0]))
