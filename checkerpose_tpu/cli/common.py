@@ -269,3 +269,30 @@ def build_train_loaders_lm(cfg: Dict, p3d_table: Dict, seed: int = 0):
         return Loader(ds, batch, shuffle=False, drop_last=False, infinite=False)
 
     return train_loader, val_loader_factory
+
+
+def maybe_graft_pretrained_backbone(cfg, state):
+    """Graft a NOCS-pretrained backbone (cli/pretrain_backbone.py) into a
+    fresh InitNet state when cfg `backbone_pretrain_checkpoint` is set.
+
+    The in-framework substitute for the reference's ImageNet-pretrained
+    timm init (`model/backbone.py:39-50`; unavailable offline). Shapes are
+    validated leaf-by-leaf by models/convert.py::graft_backbone. Only fires
+    at step 0 — a resumed run already carries the (further-trained)
+    backbone.
+    """
+    bk_ck = cfg.get("backbone_pretrain_checkpoint")
+    if not bk_ck or int(state.step) != 0:
+        return state
+    from checkerpose_tpu.models.convert import graft_backbone
+    from checkerpose_tpu.train.checkpoint import CheckpointManager
+    from checkerpose_tpu.train.state import TrainState
+    raw = CheckpointManager(bk_ck).restore_raw()
+    wp, ws = graft_backbone({"m": state.params}, {"m": state.batch_stats},
+                            raw["params"]["backbone"],
+                            raw["batch_stats"]["backbone"], into="m")
+    print(f"grafted NOCS-pretrained backbone from {bk_ck} "
+          f"(step {int(raw['step'])})", flush=True)
+    return TrainState(params=wp["m"], batch_stats=ws["m"],
+                      opt_state=state.opt_state, step=0,
+                      best_score=state.best_score)

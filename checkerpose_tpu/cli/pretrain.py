@@ -47,6 +47,8 @@ def main(cfg):
         state = ckpt.restore(state)
         print(f"resumed from step {state.step}", flush=True)
 
+    state = common.maybe_graft_pretrained_backbone(cfg, state)
+
     train_loader, val_loader_factory = common.build_train_loaders(cfg, xyz)
     step = steps.make_pretrain_step(
         net, knn, opt, crop_size_gt=crop_gt,

@@ -37,6 +37,8 @@ def main(cfg):
     if cfg.get("load_checkpoint", False) and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
 
+    state = common.maybe_graft_pretrained_backbone(cfg, state)
+
     train_loader, val_loader_factory = common.build_train_loaders_lm(cfg, p3d_table)
     step = steps.make_pretrain_step(
         net, knn_stack, opt, crop_size_gt=crop_gt,

@@ -92,6 +92,17 @@ class CheckpointManager:
                           step=int(restored["step"]),
                           best_score=best_score)
 
+    def restore_raw(self, step: Optional[int] = None,
+                    best: bool = False) -> dict:
+        """Raw saved pytree (no target structure): for cross-model weight
+        grafts (e.g. the NOCS backbone bootstrap, cli/pretrain_backbone.py)
+        where the consumer's TrainState has a different param tree."""
+        mgr = self.best_mgr if best else self.mgr
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {self.dir}")
+        return mgr.restore(step)
+
     def restore_eval(self, state: TrainState, step: Optional[int] = None,
                      best: bool = False) -> TrainState:
         """Optimizer-agnostic restore for inference/eval.

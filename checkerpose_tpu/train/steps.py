@@ -45,6 +45,82 @@ def teacher_force_prob_at(step: int, base: float, anneal_start: int,
     return base * min(1.0, max(0.0, 1.0 - frac))
 
 
+def nocs_labels(depth, mask_visib, bbox, cam_K, R, t, diameter: float):
+    """Per-pixel NOCS targets from a depth crop, fully on device.
+
+    depth: (B, S, S) float mm at the GT-crop grid (nearest-resized);
+    mask_visib: (B, S, S) {0,1}; bbox (B, 4) final square crop; cam_K
+    (B, 3, 3); R (B, 3, 3); t (B, 3); diameter: object diameter mm
+    (static). Returns (nocs (B, S, S, 3) in [0,1], valid (B, S, S) f32).
+
+    Backprojection at CELL CENTERS of the crop grid mapped to original
+    pixels (ops/geometry.py::map_crop_to_original semantics + 0.5):
+    P_cam = K^-1 [u, v, 1] z; model coords m = R^T (P_cam - t);
+    nocs = m / diameter + 0.5 (an object fits a diameter-side cube).
+    """
+    B, S = depth.shape[0], depth.shape[1]
+    g = jnp.arange(S, dtype=jnp.float32) + 0.5              # cell centers
+
+    def one(z, mv, bb, K, Rm, tv):
+        u = bb[2] / S * g + bb[0]                           # (S,) x coords
+        v = bb[3] / S * g + bb[1]                           # (S,) y coords
+        uu = jnp.broadcast_to(u[None, :], (S, S))
+        vv = jnp.broadcast_to(v[:, None], (S, S))
+        X = (uu - K[0, 2]) * z / K[0, 0]
+        Y = (vv - K[1, 2]) * z / K[1, 1]
+        P = jnp.stack([X, Y, z], axis=-1)                   # (S, S, 3) cam mm
+        m = jnp.einsum("ij,hwj->hwi", Rm.T, P - tv[None, None, :])
+        nocs = m / diameter + 0.5
+        valid = ((z > 0) & (mv > 0.5)).astype(jnp.float32)
+        return jnp.clip(nocs, 0.0, 1.0), valid
+
+    return jax.vmap(one)(depth, mask_visib, bbox, cam_K, R, t)
+
+
+def make_nocs_train_step(net, optimizer: optax.GradientTransformation, *,
+                         diameter: float, use_pepper_salt=True,
+                         use_motion_blur=True, color_aug_prob=0.8,
+                         visib_loss_weight: float = 0.5):
+    """Dense NOCS pretraining step (backbone bootstrap, models/nocs.py).
+
+    Loss = masked L1 on the 3 NOCS channels + BCE on the visibility
+    channel (full grid). Same color augmentation bank as the pose steps.
+    """
+
+    @jax.jit
+    def step(state: Dict[str, Any], batch, key):
+        imgs = device_augment_normalize(batch["image"], key, use_pepper_salt,
+                                        use_motion_blur, train=True,
+                                        color_aug_prob=color_aug_prob)
+        gt_nocs, valid = nocs_labels(batch["depth"], batch["mask_visib"],
+                                     batch["bbox"], batch["cam_K"],
+                                     batch["R"], batch["t"], diameter)
+
+        def loss_fn(params):
+            out, updates = net.apply(
+                {"params": params, "batch_stats": state["batch_stats"]},
+                imgs, train=True, mutable=["batch_stats"])
+            n = jnp.maximum(jnp.sum(valid), 1.0)
+            l_nocs = jnp.sum(jnp.abs(out[..., :3] - gt_nocs)
+                             * valid[..., None]) / (3.0 * n)
+            logit = out[..., 3]
+            mv = batch["mask_visib"]
+            l_vis = jnp.mean(optax.sigmoid_binary_cross_entropy(logit, mv))
+            total = l_nocs + visib_loss_weight * l_vis
+            metrics = {"loss": total, "loss_nocs": l_nocs, "loss_visib": l_vis}
+            return total, (updates["batch_stats"], metrics)
+
+        (_, (new_bs, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+        updates, new_opt = optimizer.update(grads, state["opt_state"],
+                                            state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        return {"params": new_params, "batch_stats": new_bs,
+                "opt_state": new_opt}, metrics
+
+    return step
+
+
 def knn_for_batch(knn_idx, batch):
     """Single-object: static (N, K) index used as-is. Multi-object (LM): a
     stacked (O, N, K) table gathered per sample by batch["obj_idx"] -- the
