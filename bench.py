@@ -113,16 +113,19 @@ def main():
     n_iters = 20
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_iters))
     float(jnp.sum(ni))  # sync warmup
-    # depth-2 software pipeline: batch i+1 is dispatched before batch i's
+    # depth-D software pipeline: batch i+D-1 is dispatched before batch i's
     # result scalar is materialized, hiding the host/tunnel round trip while
-    # still forcing EVERY batch's full computation inside the timed window
+    # still forcing EVERY batch's full computation inside the timed window.
+    # BENCH_DEPTH env overrides for A/B (deeper hides more tunnel latency at
+    # the cost of more in-flight batches; 2 is the proven round-2 setting)
+    depth = int(os.environ.get("BENCH_DEPTH", "2"))
     t0 = time.perf_counter()
     pending = []
     for i in range(n_iters):
         R, t, ni = fn(variables, images, bbox, p3dj, p3dnj, keys[i])
         pending.append(ni)
-        if len(pending) > 1:
-            float(jnp.sum(pending.pop(0)))  # host-sync of the previous batch
+        if len(pending) >= depth:
+            float(jnp.sum(pending.pop(0)))  # host-sync of the oldest batch
     while pending:
         float(jnp.sum(pending.pop(0)))
     dt = time.perf_counter() - t0
