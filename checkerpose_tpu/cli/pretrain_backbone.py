@@ -12,19 +12,18 @@ This CLI trains the backbone on per-pixel normalized object coordinates
 `backbone_pretrain_checkpoint` (shape-validated, models/convert.py path).
 
 Reuses the standard crop dataset; the depth crop at the GT grid is
-RENDERED from the object mesh at the GT pose with crop-adjusted intrinsics
-(eval/renderer.py z-buffer — the same rasterizer VSD uses, golden-tested
-in tests/test_renderer_golden.py). Rendering beats loading the sensor
-depth: it is noise-free, needs no depth images on disk (the reference's
-train_pbr/train_real splits vary), and occlusion is already handled by
-masking the loss with mask_visib.
+RENDERED from the object mesh at the GT pose with crop-adjusted
+intrinsics, ON DEVICE inside the jitted train step (ops/raster.py — the
+XLA twin of the eval/renderer.py z-buffer VSD uses, golden-tested in
+tests/test_raster.py). Rendering beats loading the sensor depth: it is
+noise-free, needs no depth images on disk (the reference's train_pbr/
+train_real splits vary), and occlusion is already handled by masking the
+loss with mask_visib; rendering on device keeps the 1-core host loader
+off the critical path (~21 ms/item measured for the host z-buffer).
 """
 from __future__ import annotations
 
 import argparse
-import os
-
-import numpy as np
 
 import jax
 
@@ -37,36 +36,6 @@ from checkerpose_tpu.train.checkpoint import CheckpointManager
 from checkerpose_tpu.train.loop import run_training
 from checkerpose_tpu.train.state import TrainState, make_optimizer, param_count
 from checkerpose_tpu.utils.logging import MetricWriter
-
-
-class NOCSCropDataset(CropDataset):
-    """CropDataset + a GT depth crop ("depth", (S, S) float32 mm) rendered
-    from the object mesh at the sample's pose, directly on the crop grid
-    via crop-adjusted intrinsics: for the final square bbox [bx, by, bw,
-    bh] mapped to an S-grid, K' = [[fx*S/bw, 0, (cx-bx)*S/bw], ...]."""
-
-    def __init__(self, samples, p3d_xyz, *, verts, faces, **kwargs):
-        kwargs["use_native"] = False  # the native core has no depth channel
-        super().__init__(samples, p3d_xyz, **kwargs)
-        self.verts = np.asarray(verts, np.float64)
-        self.faces = np.asarray(faces, np.int32)
-
-    def __getitem__(self, index: int):
-        from checkerpose_tpu.eval.renderer import render_depth
-        item = super().__getitem__(index)
-        S = self.crop_size_gt
-        if item["valid"] < 0.5:
-            item["depth"] = np.zeros((S, S), np.float32)
-            return item
-        s = self.samples[index]
-        b = item["bbox"].astype(np.float64)
-        K = s.cam_K
-        Kc = np.array([[K[0, 0] * S / b[2], 0.0, (K[0, 2] - b[0]) * S / b[2]],
-                       [0.0, K[1, 1] * S / b[3], (K[1, 2] - b[1]) * S / b[3]],
-                       [0.0, 0.0, 1.0]])
-        item["depth"] = render_depth(self.verts, self.faces, s.R, s.t, Kc,
-                                     S, S).astype(np.float32)
-        return item
 
 
 def build_nocs_net(cfg) -> NOCSNet:
@@ -113,12 +82,12 @@ def main(cfg):
                          "the model ply has no faces")
     kw = dict(crop_size_img=crop_img, crop_size_gt=crop_gt,
               padding_ratio=float(cfg.get("padding_ratio", 1.5)),
-              resize_method=cfg.get("resize_method", "crop_square_resize"))
+              resize_method=cfg.get("resize_method", "crop_square_resize"),
+              frame_cache=common._frame_cache(cfg))
     vt = float(cfg.get("train_obj_visible_theshold", 0.1))
     samples = scan_bop_object(cfg["bop_path"], cfg["dataset_name"],
                               cfg["training_data_folder"], cfg["obj_id"], vt)
-    loader = Loader(NOCSCropDataset(samples, xyz, verts=verts, faces=faces,
-                                    is_train=True, **kw),
+    loader = Loader(CropDataset(samples, xyz, is_train=True, **kw),
                     int(cfg["batch_size"]), shuffle=True, infinite=True)
 
     diameter = common.object_diameter(cfg)
@@ -126,7 +95,8 @@ def main(cfg):
         net, opt, diameter=diameter,
         use_pepper_salt=cfg.get("use_peper_salt", True),
         use_motion_blur=cfg.get("use_motion_blur", True),
-        color_aug_prob=float(cfg.get("color_aug_prob", 0.8)))
+        color_aug_prob=float(cfg.get("color_aug_prob", 0.8)),
+        mesh=(verts, faces))
 
     writer = MetricWriter(cfg["tensorboard_path"])
 

@@ -23,7 +23,7 @@ export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 SEG=${SEG:-1200}
 BK_TOTAL=${BK_TOTAL:-8000}
 PRETRAIN_TOTAL=${PRETRAIN_TOTAL:-6000}
-TRAIN_TOTAL=${TRAIN_TOTAL:-56000}
+TRAIN_TOTAL=${TRAIN_TOTAL:-24000}
 TEST_FREQ=${TEST_FREQ:-2000}
 SAVE_FREQ=${SAVE_FREQ:-600}
 BKCFG=config/synth/nocs_backbone_synth.txt
