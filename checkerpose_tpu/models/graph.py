@@ -10,6 +10,7 @@ lowers to a single fused gather (the reference's `batch_indices` machinery,
 from __future__ import annotations
 
 import contextvars
+import os
 from typing import Any, Dict
 
 import numpy as np
@@ -23,14 +24,39 @@ _FUSED_REGISTRY: contextvars.ContextVar[Dict[tuple, Any]] = contextvars.ContextV
     "edgeconv_fused_registry", default={})
 
 
+_ONEHOT_GATHER = os.environ.get("CHECKERPOSE_ONEHOT_GATHER", "1") != "0"
+
+
 def gather_neighbors(x: jnp.ndarray, knn_idx) -> jnp.ndarray:
     """x (B, N, C); knn_idx static (N, K) or per-sample traced (B, N, K).
 
     Returns neighbor features (B, N, K, C).
+
+    The per-sample (multi-object LM) form is computed as ONE-HOT MATMULS on
+    the MXU rather than `take_along_axis`: TPU lowers a batched dynamic
+    gather (and, worse, its scatter-add transpose in the backward pass) to
+    serial HLO, which round-3 measured at ~6x the single-object train step
+    (~2 s vs ~0.3 s, NOTES_ROUND3.md). Selection by a one-hot row is exact
+    (each output element is one input value; zero terms vanish exactly at
+    any matmul precision), and the gradient is the transposed matmul --
+    both MXU-resident. Scanned over the K neighbor slots to bound the
+    transient one-hot to (B, N, N) per chunk. Opt out with env
+    CHECKERPOSE_ONEHOT_GATHER=0 (take_along_axis path).
     """
     if isinstance(knn_idx, (np.ndarray,)) or (hasattr(knn_idx, "ndim") and knn_idx.ndim == 2):
         return x[:, knn_idx]
-    # per-sample index (multi-object LM variant): batched gather
+    if _ONEHOT_GATHER:
+        import jax
+        N = x.shape[1]
+        iota = jnp.arange(N, dtype=knn_idx.dtype)
+
+        def body(_, idx_k):                       # idx_k (B, N)
+            oh = (idx_k[..., None] == iota).astype(x.dtype)     # (B, N, N)
+            return None, jnp.einsum("bnm,bmc->bnc", oh, x)
+
+        _, g = jax.lax.scan(body, None, jnp.moveaxis(knn_idx, 2, 0))
+        return jnp.moveaxis(g, 0, 2)              # (B, N, K, C)
+    # per-sample index: batched gather
     idx = knn_idx[..., None]                      # (B, N, K, 1)
     return jnp.take_along_axis(x[:, :, None, :], idx, axis=1)
 

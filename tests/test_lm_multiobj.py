@@ -101,3 +101,32 @@ def test_woprog_ablation(tables):
     batch["p3d_normed"] = normed[batch["obj_idx"]]
     sd, metrics = step(sd, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_gather_neighbors_onehot_parity():
+    """One-hot-matmul per-sample gather == take_along_axis, value-exact
+    (selection: each output element is exactly one input element), and the
+    gradient (a transposed matmul vs a scatter-add) matches too."""
+    from checkerpose_tpu.models import graph
+
+    rng = np.random.default_rng(3)
+    B, N, Kn, C = 4, 24, 6, 8
+    idx = jnp.asarray(rng.integers(0, N, (B, N, Kn)), jnp.int32)
+
+    def ref(x, i):
+        return jnp.take_along_axis(x[:, :, None, :], i[..., None], axis=1)
+
+    for dt in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.standard_normal((B, N, C)), dt)
+        got = jax.jit(graph.gather_neighbors)(x, idx)
+        want = ref(x, idx)
+        assert got.dtype == x.dtype
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(want, np.float32))
+
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((B, N, Kn, C)), jnp.float32)
+    g_got = jax.grad(lambda v: jnp.vdot(graph.gather_neighbors(v, idx), ct))(x)
+    g_want = jax.grad(lambda v: jnp.vdot(ref(v, idx), ct))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=1e-6, atol=1e-6)
