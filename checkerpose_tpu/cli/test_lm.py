@@ -30,11 +30,17 @@ def main(cfg):
     opt = make_optimizer(1e-4)
     state = create_pose_state(net, knn_stack[0], crop_img, opt, npoint)
     mgr = CheckpointManager(cfg.get("ckpt_dir") or cfg["check_point_path"])
-    try:
-        state = mgr.restore_eval(state, best=True)
-    except FileNotFoundError:
+    # use_latest mirrors cli/test.py: evaluate the newest rolling checkpoint
+    # when the best-gate metric is stale (e.g. decode_conf_tau retuned)
+    if cfg.get("use_latest"):
         state = mgr.restore_eval(state)
-    print(f"loaded checkpoint step {state.step}")
+        print(f"loaded LATEST checkpoint step {state.step}")
+    else:
+        try:
+            state = mgr.restore_eval(state, best=True)
+        except FileNotFoundError:
+            state = mgr.restore_eval(state)
+        print(f"loaded checkpoint step {state.step}")
 
     sorted_ids = sorted(cfg["obj_ids"])
     id_to_name = {oid: n for n, oid in zip(cfg["obj_names"], cfg["obj_ids"])}
@@ -102,11 +108,19 @@ if __name__ == "__main__":
     p.add_argument("--eval_output_path", default=None)
     p.add_argument("--use_progressivex", action="store_true")
     p.add_argument("--adx_type", default=None, choices=[None, "default", "full", "visib"])
+    p.add_argument("--decode_mode", default=None,
+                   choices=[None, "hard", "soft", "adaptive"])
+    p.add_argument("--decode_conf_tau", type=float, default=None)
+    p.add_argument("--use_latest", action="store_true",
+                   help="evaluate the latest rolling checkpoint, not best")
     args = p.parse_args()
     cfg = common.resolve_cfg_lm(args.cfg, {
         "ckpt_dir": args.ckpt_dir,
         "eval_output_path": args.eval_output_path,
         "use_progressivex": args.use_progressivex or None,
         "adx_type": args.adx_type,
+        "decode_mode": args.decode_mode,
+        "decode_conf_tau": args.decode_conf_tau,
+        "use_latest": args.use_latest or None,
     })
     main(cfg)
