@@ -56,12 +56,6 @@ class InitNet(nn.Module):
         # like the reference (`model/init.py:114` hardcodes 64 = 8*8); the
         # refine gathers also rely on map resolution == 2**(3+step+1)
         B, H, W, N = x.shape
-        if (H, W) != (8, 8):
-            raise ValueError(
-                f"InitNet expects an 8x8 last backbone map (crop 256 at "
-                f"stride 32), got {H}x{W}: a smaller crop makes the refine "
-                f"stages index past their feature maps (NaN fill). Use "
-                f"BoundingBox_CropSize_image = 256.")
         g = x.transpose(0, 3, 1, 2).reshape(B, N, H * W)  # (B, N, H*W)
         # expose the per-keypoint response maps for the optional auxiliary
         # heatmap loss (train/steps.py): dense per-channel supervision that

@@ -225,6 +225,17 @@ class PoseNet(nn.Module):
                        dtype=self.dtype, name="init_net")
         bits, feats, graph_feat = init(img, knn_idx, train)
 
+        # refine gathers index an 8->16->32->64 grid pyramid built by
+        # doubling the init net's LAST map, so that map must be 8x8 (crop
+        # 256 at backbone stride 32). A smaller crop makes the predicted
+        # cell ids index past the upsampled maps, which jnp gathers fill
+        # with NaN — fail loudly at trace time instead.
+        if feats[-1].shape[1:3] != (8, 8):
+            raise ValueError(
+                f"PoseNet refine stages require an 8x8 init feature map "
+                f"(crop 256 at stride 32), got {feats[-1].shape[1:3]}. "
+                f"Use BoundingBox_CropSize_image = 256.")
+
         roi_logit = bits[..., 0:1]
         x_logits = bits[..., 1:4]
         y_logits = bits[..., 4:7]
