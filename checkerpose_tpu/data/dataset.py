@@ -255,10 +255,11 @@ class CropDataset:
                 # ignore them) — if crop_resize is ever wired into the
                 # native batch path, this placeholder would silently corrupt
                 # final_bbox, so fail loudly here rather than downstream
-                assert "square" in self.resize_method, (
+                assert self.resize_method in (
+                    "crop_square_resize", "crop_resize_by_warp_affine"), (
                     f"native get_batch uses a placeholder image size that is "
-                    f"only valid for square resize methods, got "
-                    f"{self.resize_method!r}")
+                    f"only valid for resize methods whose final_bbox ignores "
+                    f"it (the square methods), got {self.resize_method!r}")
                 batch_items[i] = self._sample_dict(
                     s, imgs[ni], mv[ni], mf[ni], b,
                     1.0 if mv[ni].max() > 0 else 0.0,

@@ -108,3 +108,34 @@ def test_loader_uses_native_batch_api(tmp_path_factory):
         np.testing.assert_allclose(np.asarray(bn[k]), np.asarray(bp[k]),
                                    atol=1e-4)
     assert bn["valid"].sum() == 4.0
+
+
+def test_native_batch_warp_affine_method(tmp_path_factory):
+    """crop_resize_by_warp_affine qualifies for the native batch API too
+    (geometrically the same square mapping, ops/crop.py:78-83); the
+    placeholder-image-size assertion must accept it and items must match
+    the python path."""
+    from checkerpose_tpu.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native core unavailable")
+    from checkerpose_tpu.data.synthetic import make_synthetic_bop
+    from checkerpose_tpu.data.bop_io import scan_bop_object
+    from checkerpose_tpu.data.dataset import CropDataset, Loader
+    from checkerpose_tpu.data.fps import load_keypoints_normed
+
+    root = str(tmp_path_factory.mktemp("bop_warp"))
+    make_synthetic_bop(root, n_objects=1, n_scenes=1, n_images=2,
+                       folders=("train_real",))
+    samples = scan_bop_object(root, "synth", "train_real", obj_id=1)
+    xyz, _ = load_keypoints_normed(root, "synth", 1, 64)
+    kw = dict(is_train=False, resize_method="crop_resize_by_warp_affine")
+    ds_n = CropDataset(samples, xyz, **kw)
+    ds_p = CropDataset(samples, xyz, use_native=False, **kw)
+    assert ds_n.supports_batch()
+    bn = next(iter(Loader(ds_n, 2, shuffle=False, infinite=False)))
+    bp = next(iter(Loader(ds_p, 2, shuffle=False, infinite=False)))
+    np.testing.assert_allclose(np.asarray(bn["image"]), np.asarray(bp["image"]),
+                               atol=1.0)
+    np.testing.assert_allclose(np.asarray(bn["bbox"]), np.asarray(bp["bbox"]),
+                               atol=1e-4)
+    assert bn["valid"].sum() == 2.0
