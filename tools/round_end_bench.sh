@@ -18,5 +18,18 @@ echo "=== forward path + roofline (batch 256 and 512)"
 python benchmarks/bench_forward.py --batch 256
 python benchmarks/bench_forward.py --batch 512
 
-echo "=== end-to-end bench.py"
+echo "=== serving latency table (batch 1/8/64/512, sync + depth-2 stream)"
+python benchmarks/bench_serving.py
+
+echo "=== e2e bench.py: pipeline-depth sweep (VERDICT r2 weak 1 attribution)"
+for d in 1 2 3 4 6; do
+  echo "--- BENCH_DEPTH=$d"
+  BENCH_DEPTH=$d python bench.py
+done
+
+echo "=== e2e bench.py: EdgeConv A/B at the best depth"
+echo "--- fused Pallas EdgeConv OFF (XLA split-matmul)"
+CHECKERPOSE_FUSED_EDGECONV=0 python bench.py
+
+echo "=== end-to-end bench.py (defaults — the recorded number)"
 python bench.py
