@@ -145,6 +145,43 @@ def with_p3d(loader, p3dn: np.ndarray):
         yield attach_p3d(batch, p3dn)
 
 
+def solver_kwargs(cfg: Dict) -> Dict:
+    """Reference-parity pose-solver tuning for the test CLIs.
+
+    Maps the reference's flags (`test.py:553-558`, `test_lm.py:438-441`) onto
+    this solver's knobs:
+      * reprojErr_thresh -> reproj_thresh (same 2 px default; the reference
+        passes it to BOTH Prog-X `threshold` and OpenCV `reprojectionError`);
+      * spatial_coherence_weight / nbr_ball_radius -> the mean-field Potts
+        coherence diffusion (solver/ransac.py:117-143), active only under
+        --use_progressivex like the reference's Prog-X branch;
+      * prog_max_iters / cv_max_iters (sequential RANSAC iteration caps) ->
+        num_hyp, this solver's PARALLEL hypothesis count — the analogous
+        work knob (explicit pnp_num_hyp wins).
+    """
+    use_px = bool(cfg.get("use_progressivex", False))
+    max_iters = cfg.get("prog_max_iters") if use_px else cfg.get("cv_max_iters")
+    return dict(
+        num_hyp=int(cfg.get("pnp_num_hyp") or max_iters or 128),
+        reproj_thresh=float(cfg.get("pnp_reproj_thresh")
+                            or cfg.get("reprojErr_thresh") or 2.0),
+        soft_inlier_sigma=(0.5 if use_px else 0.0),
+        coherence_weight=(float(cfg.get("spatial_coherence_weight") or 0.1)
+                          if use_px else 0.0),
+        neighborhood_radius=float(cfg.get("nbr_ball_radius") or 20.0),
+    )
+
+
+def checkpoint_dir_arg(ckpt_dir, ckpt_file):
+    """--ckpt_dir, with --ckpt_file accepted as a reference-CLI alias
+    (`test.py:551`); orbax checkpoints are directories, so a file path
+    degrades to its parent."""
+    ckpt = ckpt_dir or ckpt_file
+    if ckpt and os.path.isfile(ckpt):
+        ckpt = os.path.dirname(ckpt)
+    return ckpt
+
+
 def object_diameter(cfg: Dict) -> float:
     info = load_models_info(cfg["bop_path"], cfg["dataset_name"], eval_models=False)
     return float(info[cfg["obj_id"]]["diameter"])

@@ -81,10 +81,7 @@ def main(cfg):
         net, knn, state.variables(), with_p3d(loader), xyz, diameter,
         stage=net.num_refine_steps, use_adi=cfg.get("is_symmetric", False),
         vertices=verts.astype(np.float32),
-        num_hyp=int(cfg.get("pnp_num_hyp", 128)),
-        reproj_thresh=float(cfg.get("pnp_reproj_thresh", 2.0)),
-        soft_inlier_sigma=(0.5 if cfg.get("use_progressivex", False) else 0.0),
-        coherence_weight=(0.1 if cfg.get("use_progressivex", False) else 0.0),
+        **common.solver_kwargs(cfg),
         discard_bd_pixel=int(cfg.get("ignore_bit", 0)),
         main_filter=main_filter,
         decode_mode=cfg.get("decode_mode", "hard"),
@@ -118,8 +115,16 @@ def parse_args():
     p.add_argument("--cfg", required=True)
     p.add_argument("--obj_name", required=True)
     p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--ckpt_file", default=None,
+                   help="reference-CLI alias for --ckpt_dir (test.py:551)")
     p.add_argument("--eval_output_path", default=None)
     p.add_argument("--use_progressivex", action="store_true")
+    # solver tuning, reference test.py:554-558
+    p.add_argument("--prog_max_iters", type=int, default=None)
+    p.add_argument("--cv_max_iters", type=int, default=None)
+    p.add_argument("--nbr_ball_radius", type=float, default=None)
+    p.add_argument("--spatial_coherence_weight", type=float, default=None)
+    p.add_argument("--reprojErr_thresh", type=float, default=None)
     p.add_argument("--ignore_bit", type=int, default=None)
     p.add_argument("--test_batch_size", type=int, default=None)
     p.add_argument("--decode_mode", default=None,
@@ -133,9 +138,14 @@ def parse_args():
 if __name__ == "__main__":
     args = parse_args()
     cfg = common.resolve_cfg(args.cfg, args.obj_name, {
-        "ckpt_dir": args.ckpt_dir,
+        "ckpt_dir": common.checkpoint_dir_arg(args.ckpt_dir, args.ckpt_file),
         "eval_output_path": args.eval_output_path,
         "use_progressivex": args.use_progressivex or None,
+        "prog_max_iters": args.prog_max_iters,
+        "cv_max_iters": args.cv_max_iters,
+        "nbr_ball_radius": args.nbr_ball_radius,
+        "spatial_coherence_weight": args.spatial_coherence_weight,
+        "reprojErr_thresh": args.reprojErr_thresh,
         "ignore_bit": args.ignore_bit,
         "test_batch_size": args.test_batch_size,
         "decode_mode": args.decode_mode,

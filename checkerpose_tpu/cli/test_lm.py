@@ -84,9 +84,7 @@ def main(cfg):
             main_filter=main_filter, sym_rots=sym_rots,
             decode_mode=cfg.get("decode_mode", "hard"),
             decode_conf_tau=float(cfg.get("decode_conf_tau", 3.0)),
-            num_hyp=int(cfg.get("pnp_num_hyp", 128)),
-            soft_inlier_sigma=(0.5 if cfg.get("use_progressivex", False) else 0.0),
-            coherence_weight=(0.1 if cfg.get("use_progressivex", False) else 0.0))
+            **common.solver_kwargs(cfg))
         per_obj[name] = {k: v for k, v in r[main_filter].items()}
         per_obj[name]["seg_iou"] = r["seg_iou"]
         print(name, json.dumps(per_obj[name]))
@@ -105,8 +103,14 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser(description="evaluate LM 13-object estimator (TPU)")
     p.add_argument("--cfg", required=True)
     p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--ckpt_file", default=None,
+                   help="reference-CLI alias for --ckpt_dir (test_lm.py:436)")
     p.add_argument("--eval_output_path", default=None)
     p.add_argument("--use_progressivex", action="store_true")
+    # solver tuning, reference test_lm.py:439-441
+    p.add_argument("--prog_max_iters", type=int, default=None)
+    p.add_argument("--nbr_ball_radius", type=float, default=None)
+    p.add_argument("--spatial_coherence_weight", type=float, default=None)
     p.add_argument("--adx_type", default=None, choices=[None, "default", "full", "visib"])
     p.add_argument("--decode_mode", default=None,
                    choices=[None, "hard", "soft", "adaptive"])
@@ -115,9 +119,12 @@ if __name__ == "__main__":
                    help="evaluate the latest rolling checkpoint, not best")
     args = p.parse_args()
     cfg = common.resolve_cfg_lm(args.cfg, {
-        "ckpt_dir": args.ckpt_dir,
+        "ckpt_dir": common.checkpoint_dir_arg(args.ckpt_dir, args.ckpt_file),
         "eval_output_path": args.eval_output_path,
         "use_progressivex": args.use_progressivex or None,
+        "prog_max_iters": args.prog_max_iters,
+        "nbr_ball_radius": args.nbr_ball_radius,
+        "spatial_coherence_weight": args.spatial_coherence_weight,
         "adx_type": args.adx_type,
         "decode_mode": args.decode_mode,
         "decode_conf_tau": args.decode_conf_tau,

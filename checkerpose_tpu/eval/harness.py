@@ -89,7 +89,9 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
                       *, stage: int, use_adi: bool = False, vertices=None,
                       reproj_thresh: float = 2.0, num_hyp: int = 128,
                       soft_inlier_sigma: float = 0.0,
-                      coherence_weight: float = 0.0, discard_bd_pixel: int = 0,
+                      coherence_weight: float = 0.0,
+                      neighborhood_radius: float = 20.0,
+                      discard_bd_pixel: int = 0,
                       filter_modes=FILTER_MODES, main_filter: str = "visib",
                       sym_rots=None, seed: int = 0,
                       decode_mode: str = "hard",
@@ -164,7 +166,8 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
             jnp.tile(camK, (nm, 1, 1)), sub,
             num_hyp=num_hyp, reproj_thresh=reproj_thresh,
             soft_inlier_sigma=soft_inlier_sigma,
-            coherence_weight=coherence_weight)
+            coherence_weight=coherence_weight,
+            neighborhood_radius=neighborhood_radius)
         errs_all = M.batched_pose_errors(
             sol_all["R"], sol_all["t"], jnp.tile(R_gt, (nm, 1, 1)),
             jnp.tile(t_gt, (nm, 1)), verts, use_adi=use_adi, sym_rots=sym_j)

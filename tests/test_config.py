@@ -89,6 +89,44 @@ def test_resolve_cfg_lm_obj_names_string(tmp_path):
     assert len(cfg2["obj_names"]) == 13
 
 
+def test_solver_kwargs_reference_flag_mapping():
+    """Reference test-CLI solver flags (test.py:553-558, test_lm.py:438-441)
+    map onto the batched solver's knobs via cli.common.solver_kwargs."""
+    from checkerpose_tpu.cli.common import solver_kwargs
+    # defaults: plain EPnP-RANSAC, no coherence, 2 px, 128 hyp
+    kw = solver_kwargs({})
+    assert kw == {"num_hyp": 128, "reproj_thresh": 2.0,
+                  "soft_inlier_sigma": 0.0, "coherence_weight": 0.0,
+                  "neighborhood_radius": 20.0}
+    # progressivex branch: soft inliers + Potts coherence, prog_max_iters
+    # drives the hypothesis count, ball radius / coherence tunable
+    kw = solver_kwargs({"use_progressivex": True, "prog_max_iters": 400,
+                        "nbr_ball_radius": 15.0,
+                        "spatial_coherence_weight": 0.3,
+                        "reprojErr_thresh": 4.0})
+    assert kw["num_hyp"] == 400 and kw["soft_inlier_sigma"] == 0.5
+    assert kw["coherence_weight"] == pytest.approx(0.3)
+    assert kw["neighborhood_radius"] == pytest.approx(15.0)
+    assert kw["reproj_thresh"] == pytest.approx(4.0)
+    # cv branch: cv_max_iters only applies without progressivex;
+    # an explicit pnp_num_hyp always wins
+    assert solver_kwargs({"cv_max_iters": 150})["num_hyp"] == 150
+    assert solver_kwargs({"use_progressivex": True,
+                          "cv_max_iters": 150})["num_hyp"] == 128
+    assert solver_kwargs({"cv_max_iters": 150,
+                          "pnp_num_hyp": 64})["num_hyp"] == 64
+
+
+def test_checkpoint_dir_arg_accepts_reference_ckpt_file(tmp_path):
+    from checkerpose_tpu.cli.common import checkpoint_dir_arg
+    f = tmp_path / "0.449step22800"
+    f.write_text("x")
+    assert checkpoint_dir_arg(None, str(f)) == str(tmp_path)
+    assert checkpoint_dir_arg(None, str(tmp_path)) == str(tmp_path)
+    assert checkpoint_dir_arg("explicit", str(f)) == "explicit"
+    assert checkpoint_dir_arg(None, None) is None
+
+
 def test_load_pretrained_init_lm_defaults_to_lm13(tmp_path):
     """Without obj_name (LM multi-object path), the pretrain graft looks
     under <root>/lm13 and degrades to None when absent (no KeyError)."""
