@@ -324,7 +324,14 @@ def maybe_graft_pretrained_backbone(cfg, state):
     from checkerpose_tpu.models.convert import graft_backbone
     from checkerpose_tpu.train.checkpoint import CheckpointManager
     from checkerpose_tpu.train.state import TrainState
-    raw = CheckpointManager(bk_ck).restore_raw()
+    mgr = CheckpointManager(bk_ck)
+    if mgr.latest_step() is None:
+        # Fail soft: a missing backbone checkpoint must not wedge a
+        # segmented driver in a retry loop — train from scratch, loudly.
+        print(f"WARNING: backbone_pretrain_checkpoint={bk_ck} has no "
+              "checkpoint; training the backbone from scratch", flush=True)
+        return state
+    raw = mgr.restore_raw()
     wp, ws = graft_backbone({"m": state.params}, {"m": state.batch_stats},
                             raw["params"]["backbone"],
                             raw["batch_stats"]["backbone"], into="m")

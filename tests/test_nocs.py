@@ -155,3 +155,19 @@ def test_graft_pretrained_backbone(tmp_path, tiny_nocs):
     np.testing.assert_array_equal(
         np.asarray(jax.tree.leaves(resumed.params["backbone"])[0]),
         np.asarray(jax.tree.leaves(state.params["backbone"])[0]))
+
+
+def test_graft_missing_checkpoint_is_fail_soft(tmp_path, capsys):
+    """A cfg pointing at a nonexistent/empty backbone checkpoint must warn
+    and return the state unchanged — a raise here wedges the segmented
+    proof drivers in an infinite retry loop (tools/run_synth_proof*.sh)."""
+    from checkerpose_tpu.cli.common import maybe_graft_pretrained_backbone
+    p3d = np.random.default_rng(0).uniform(-30, 30, (16, 3)).astype(np.float32)
+    knn = knn_index(p3d, 5)
+    init_net = InitNet(npoint=16, res_log2=3, backbone_name="resnet34",
+                       num_graph_module=1, dtype=jnp.float32)
+    state = create_init_state(init_net, knn, 64, make_optimizer(1e-3))
+    cfg = {"backbone_pretrain_checkpoint": str(tmp_path / "does_not_exist")}
+    g = maybe_graft_pretrained_backbone(cfg, state)
+    assert g is state
+    assert "training the backbone from scratch" in capsys.readouterr().out
