@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Aggregate cutover eval reports into one markdown table.
+
+Scans eval-output directories (each variant subdir holds the
+``report_*.json`` that ``cli.test`` / ``cli.test_lm`` write) and prints a
+table of the headline metrics per variant, hard and adaptive side by side —
+the presentation VERDICT r2 weak #2 asked for. Tolerant of missing fields
+so it works on partial sweeps and on per-object LM reports.
+
+Usage:
+    python tools/make_round_report.py [dir ...]   # default: eval_output_synth_r4
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+
+def _fmt(v, nd=3):
+    if isinstance(v, (int, float)):
+        return f"{v:.{nd}f}"
+    return "—"
+
+
+def _row(tag, rep):
+    mode = rep.get("visib") or rep.get("full") or rep.get("none") or {}
+    be = rep.get("bit_err")
+    if isinstance(be, list) and len(be) >= 3:
+        L = (len(be) - 1) // 2
+        bits = " ".join(f"{v:.2f}" for v in be[1:1 + L])
+    else:
+        bits = "—"
+    return (f"| {tag} | {_fmt(mode.get('adx10'))} | {_fmt(mode.get('adx05'))} "
+            f"| {_fmt(mode.get('adx02'))} | {_fmt(mode.get('auc_posecnn'))} "
+            f"| {_fmt(mode.get('mean_re_deg'), 1)} | {_fmt(mode.get('mean_te_mm'), 1)} "
+            f"| {_fmt(mode.get('rete2'))} | {_fmt(mode.get('rete5'))} | {bits} |")
+
+
+def collect(root):
+    rows = []
+    for rp in sorted(glob.glob(os.path.join(root, "*", "report_*.json"))):
+        variant = os.path.basename(os.path.dirname(rp))
+        with open(rp) as f:
+            rep = json.load(f)
+        # test_lm writes per-object sections plus an "average"; test writes flat
+        if "average" in rep or any(k.startswith("obj") for k in rep):
+            for obj, sub in sorted(rep.items()):
+                if isinstance(sub, dict) and ("visib" in sub or "none" in sub):
+                    rows.append(_row(f"{variant}/{obj}", sub))
+        else:
+            rows.append(_row(variant, rep))
+    return rows
+
+
+def main():
+    roots = sys.argv[1:] or ["eval_output_synth_r4"]
+    print("| variant | adx10 | adx05 | adx02 | AUC | re° | te mm | rete2 | rete5 | x bit_err MSB→LSB |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
+    for root in roots:
+        for row in collect(root):
+            print(row)
+
+
+if __name__ == "__main__":
+    main()
