@@ -25,7 +25,10 @@ def _fmt(v, nd=3):
 
 
 def _row(tag, rep):
-    mode = rep.get("visib") or rep.get("full") or rep.get("none") or {}
+    if "adx10" in rep:          # already a flat metrics dict (LM per-object)
+        mode = rep
+    else:
+        mode = rep.get("visib") or rep.get("full") or rep.get("none") or {}
     be = rep.get("bit_err")
     if isinstance(be, list) and len(be) >= 3:
         L = (len(be) - 1) // 2
@@ -44,11 +47,13 @@ def collect(root):
         variant = os.path.basename(os.path.dirname(rp))
         with open(rp) as f:
             rep = json.load(f)
-        # test_lm writes per-object sections plus an "average"; test writes flat
-        if "average" in rep or any(k.startswith("obj") for k in rep):
-            for obj, sub in sorted(rep.items()):
-                if isinstance(sub, dict) and ("visib" in sub or "none" in sub):
-                    rows.append(_row(f"{variant}/{obj}", sub))
+        # test_lm writes {"per_object": {name: flat}, "average": flat};
+        # test writes a flat per-mode report
+        if "per_object" in rep:
+            for obj, sub in sorted(rep["per_object"].items()):
+                rows.append(_row(f"{variant}/{obj}", sub))
+            if "average" in rep:
+                rows.append(_row(f"{variant}/AVERAGE", rep["average"]))
         else:
             rows.append(_row(variant, rep))
     return rows
