@@ -148,6 +148,12 @@ def main(cfg):
             print("  bit_err roi={:.3f} x=[{}] y=[{}]".format(
                 be[0], " ".join(f"{v:.3f}" for v in be[1:1 + L]),
                 " ".join(f"{v:.3f}" for v in be[1 + L:])), flush=True)
+            # best-checkpoint gate: DECODE-INVARIANT mean per-bit accuracy.
+            # The adx10 under cfg's decode_mode is tau-sensitive (retuning
+            # tau mid-run froze the r3 best ckpt at a stale record); per-bit
+            # error depends only on the hard predictions vs GT labels.
+            rep["gate_score"] = 1.0 - float(np.mean(rep["bit_err"]))
+            rep["gate_metric"] = "one_minus_mean_bit_err"
         return rep
 
     state = run_training(

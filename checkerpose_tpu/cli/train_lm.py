@@ -111,6 +111,7 @@ def main(cfg):
 
     def eval_fn(variables):
         accs = {}
+        bit_means = []
         for obj_id in sorted_ids:
             name = id_to_name[obj_id]
             r = evaluate_pipeline(
@@ -122,9 +123,18 @@ def main(cfg):
                 decode_mode=cfg.get("decode_mode", "hard"),
                 decode_conf_tau=float(cfg.get("decode_conf_tau", 3.0)))
             accs[name] = r["test_acc"]
+            if "bit_err" in r:
+                bit_means.append(float(np.mean(r["bit_err"])))
         mean = float(np.mean(list(accs.values())))
         print("per-object adx10:", {k: round(v, 4) for k, v in accs.items()})
-        return {"test_acc": mean}
+        ev = {"test_acc": mean}
+        if len(bit_means) == len(sorted_ids):
+            # decode-invariant gate, as in cli.train: mean per-bit accuracy
+            # across all objects (tau-sensitive adx10 must not gate the best
+            # checkpoint — r3 stale-gate bug)
+            ev["gate_score"] = 1.0 - float(np.mean(bit_means))
+            ev["gate_metric"] = "one_minus_mean_bit_err"
+        return ev
 
     state = run_training(
         state=state, step_fns=step_fns, loader=train_loader,

@@ -48,16 +48,36 @@ class CheckpointManager:
     def save(self, state: TrainState):
         self.mgr.save(state.step, args=ocp.args.StandardSave(_to_pytree(state)))
 
-    def save_best(self, state: TrainState):
+    def save_best(self, state: TrainState, metric: str = "test_acc"):
         self.best_mgr.save(state.step, args=ocp.args.StandardSave(_to_pytree(state)))
         # Side-record the best score so rolling checkpoints saved BEFORE an
         # eval (loop.py's wedge-proof pre-eval save) can't stale it: restore
-        # takes max(ckpt best_score, this file). Atomic write (tmp+rename).
+        # takes max(ckpt best_score, this file). The record is tagged with
+        # the gate METRIC: a score is only comparable to scores of the same
+        # metric (a tau-sensitive adaptive adx10 from an old run must not
+        # floor a decode-invariant bit-error gate — the round-3 stale-gate
+        # bug). Atomic write (tmp+rename).
         tmp = os.path.join(self.dir, ".best_score.json.tmp")
         with open(tmp, "w") as f:
             json.dump({"step": int(state.step),
-                       "best_score": float(state.best_score)}, f)
+                       "best_score": float(state.best_score),
+                       "metric": metric}, f)
         os.replace(tmp, os.path.join(self.dir, "best_score.json"))
+
+    def best_floor(self, metric: str) -> float:
+        """Best score previously recorded FOR THIS GATE METRIC; -inf when the
+        record is absent or was produced under a different (or legacy
+        untagged) metric — stale records from another gate definition must
+        not freeze the best checkpoint (VERDICT r3 weak #2)."""
+        path = os.path.join(self.dir, "best_score.json")
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            if rec.get("metric") != metric:
+                return float("-inf")
+            return float(rec["best_score"])
+        except (OSError, ValueError, KeyError):
+            return float("-inf")
 
     def _best_score_floor(self) -> float:
         path = os.path.join(self.dir, "best_score.json")

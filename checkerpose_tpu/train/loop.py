@@ -29,7 +29,18 @@ def run_training(*, state: TrainState, step_fns, loader: Iterable,
     """Args:
       step_fns: dict stage->jitted step (or {None: step} when no curriculum);
         each maps (state_dict, batch, key) -> (state_dict, metrics).
-      eval_fn: state_dict -> metrics dict with "test_acc" gating best ckpt.
+      eval_fn: state_dict -> metrics dict. The best checkpoint is gated on
+        "gate_score" when present (with its metric named by "gate_metric"),
+        else on "test_acc". Gate scores must be DECODE-INVARIANT and
+        monotone with training quality (e.g. 1 - mean per-bit error):
+        round 3 showed a tau-sensitive adaptive-decode gate freezes the
+        best checkpoint forever when tau is retuned mid-run. The gate's
+        memory lives in the metric-tagged best_score.json side record
+        (CheckpointManager.best_floor), NOT in the restored state's
+        best_score, so records written under a different gate definition
+        are ignored rather than trusted. Reference gate semantics:
+        /root/reference/checkerpose/train.py:367-370 (single stable metric
+        for the whole run).
       save_freq: rolling-checkpoint cadence, decoupled from test_freq
         (defaults to test_freq). The rolling save happens BEFORE any eval at
         the same step: the tunneled TPU client can wedge with zero CPU inside
@@ -54,7 +65,10 @@ def run_training(*, state: TrainState, step_fns, loader: Iterable,
           "opt_state": replicate_tree(state.opt_state, mesh)}
     key = jax.random.PRNGKey(seed)
     step_no = state.step
-    best = state.best_score
+    # best-gate memory is resolved at the FIRST eval from the metric-tagged
+    # side record (ckpt.best_floor): the restored state's best_score may have
+    # been produced under a different gate metric and must not be trusted
+    best = None
     t_last = time.time()
     data_iter = iter(loader)
 
@@ -111,20 +125,29 @@ def run_training(*, state: TrainState, step_fns, loader: Iterable,
             ckpt.save(TrainState(params=sd["params"],
                                  batch_stats=sd["batch_stats"],
                                  opt_state=sd["opt_state"], step=step_no,
-                                 best_score=best))
+                                 best_score=(best if best is not None
+                                             else float("-inf"))))
         if step_no % test_freq == 0 or at_end:
             ev = eval_fn({"params": sd["params"],
                           "batch_stats": sd["batch_stats"]})
             writer.add_scalar("TESTDATA_ACC/ACC_test", ev["test_acc"], step_no)
+            gate = float(ev.get("gate_score", ev["test_acc"]))
+            gate_metric = str(ev.get("gate_metric", "test_acc"))
+            if best is None:
+                best = ckpt.best_floor(gate_metric)
             print(f"eval @ {step_no}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in ev.items()
-                if isinstance(v, (int, float))), flush=True)
-            if ev["test_acc"] > best:
-                best = ev["test_acc"]
+                if isinstance(v, (int, float)))
+                + f" gate[{gate_metric}]={gate:.4f} (best {best:.4f})",
+                flush=True)
+            if gate > best:
+                best = gate
                 ckpt.save_best(TrainState(
                     params=sd["params"], batch_stats=sd["batch_stats"],
-                    opt_state=sd["opt_state"], step=step_no, best_score=best))
+                    opt_state=sd["opt_state"], step=step_no, best_score=best),
+                    metric=gate_metric)
 
     ckpt.wait()
     return TrainState(params=sd["params"], batch_stats=sd["batch_stats"],
-                      opt_state=sd["opt_state"], step=step_no, best_score=best)
+                      opt_state=sd["opt_state"], step=step_no,
+                      best_score=(best if best is not None else float("-inf")))

@@ -2,10 +2,13 @@
 """Aggregate cutover eval reports into one markdown table.
 
 Scans eval-output directories (each variant subdir holds the
-``report_*.json`` that ``cli.test`` / ``cli.test_lm`` write) and prints a
-table of the headline metrics per variant, hard and adaptive side by side —
-the presentation VERDICT r2 weak #2 asked for. Tolerant of missing fields
-so it works on partial sweeps and on per-object LM reports.
+``report_*.json`` that ``cli.test`` / ``cli.test_lm`` write) and prints ONE
+STACKED ROW PER VARIANT (hard/adaptive variants appear as adjacent rows for
+comparison, not merged columns). Per-bit errors render for single-object
+reports and for the LM AVERAGE row (test_lm keeps bit_err at the report's
+top level; per-object sub-dicts carry only pose metrics, so their bits
+column is "—" by construction). Tolerant of missing fields so it works on
+partial sweeps.
 
 Usage:
     python tools/make_round_report.py [dir ...]   # default: eval_output_synth_r4
@@ -53,7 +56,12 @@ def collect(root):
             for obj, sub in sorted(rep["per_object"].items()):
                 rows.append(_row(f"{variant}/{obj}", sub))
             if "average" in rep:
-                rows.append(_row(f"{variant}/AVERAGE", rep["average"]))
+                avg = dict(rep["average"])
+                # bit_err lives at the full report's top level, not in the
+                # per-object/average sub-dicts — surface it on the AVERAGE row
+                if "bit_err" in rep and "bit_err" not in avg:
+                    avg["bit_err"] = rep["bit_err"]
+                rows.append(_row(f"{variant}/AVERAGE", avg))
         else:
             rows.append(_row(variant, rep))
     return rows
