@@ -127,6 +127,33 @@ def build_test_loader(cfg: Dict, xyz: np.ndarray, batch_size: int = 16,
     return Loader(ds, batch_size, shuffle=False, drop_last=False, infinite=False), samples
 
 
+def build_val_slice_loader_factory(cfg: Dict, xyz: np.ndarray, *,
+                                   max_images: int = 32,
+                                   batch_size: int = 16,
+                                   crop_gt: Optional[int] = None):
+    """Loader factory over a SMALL held-out val slice (first `max_images`
+    of val_folder, GT boxes, no detections) for decode-tau calibration
+    (VERDICT r3 #6). Returns a zero-arg factory because calibration sweeps
+    the same slice once per candidate tau."""
+    crop_img = int(cfg.get("BoundingBox_CropSize_image", 256))
+    crop_gt = crop_gt or 2 ** int(cfg.get("network_res_log2", 6))
+    samples = scan_bop_object(
+        cfg["bop_path"], cfg["dataset_name"],
+        cfg.get("val_folder", cfg.get("test_folder", "test")),
+        cfg["obj_id"], 0.1)[:max_images]
+    ds = CropDataset(samples, xyz, is_train=False, crop_size_img=crop_img,
+                     crop_size_gt=crop_gt,
+                     padding_ratio=float(cfg.get("padding_ratio", 1.5)),
+                     resize_method=cfg.get("resize_method", "crop_square_resize"),
+                     use_detections=False, frame_cache=_frame_cache(cfg))
+
+    def factory():
+        return Loader(ds, batch_size, shuffle=False, drop_last=False,
+                      infinite=False)
+
+    return factory
+
+
 def attach_p3d(batch: Dict, p3dn: np.ndarray) -> Dict:
     """Attach per-sample normalized keypoints to a batch: a stacked (O, N, 3)
     multi-object table is gathered by obj_idx, a single-object (N, 3) array
@@ -324,10 +351,32 @@ def maybe_graft_pretrained_backbone(cfg, state):
     from checkerpose_tpu.models.convert import graft_backbone
     from checkerpose_tpu.train.checkpoint import CheckpointManager
     from checkerpose_tpu.train.state import TrainState
+    # Existence is checked on the filesystem FIRST: constructing an orbax
+    # CheckpointManager at a typo'd path would mkdir the empty tree as a
+    # side effect, masking the misconfiguration on later inspection
+    # (ADVICE r3). A numbered-step subdir is what a real save leaves behind.
+    has_step = os.path.isdir(bk_ck) and any(
+        d.isdigit() for d in os.listdir(bk_ck))
+    if not has_step:
+        msg = (f"backbone_pretrain_checkpoint={bk_ck} has no numbered "
+               "checkpoint step")
+        if os.environ.get("CHECKERPOSE_REQUIRE_BACKBONE_GRAFT", "0") == "1":
+            # Strict mode for runs where the graft is load-bearing (the r4
+            # accuracy proof): a silent from-scratch fallback would
+            # invalidate a multi-hour experiment without any failure.
+            raise FileNotFoundError(
+                msg + " and CHECKERPOSE_REQUIRE_BACKBONE_GRAFT=1")
+        # Fail soft otherwise: a missing backbone checkpoint must not wedge
+        # a segmented driver in a retry loop — train from scratch, loudly.
+        print(f"WARNING: {msg}; training the backbone from scratch",
+              flush=True)
+        return state
     mgr = CheckpointManager(bk_ck)
     if mgr.latest_step() is None:
-        # Fail soft: a missing backbone checkpoint must not wedge a
-        # segmented driver in a retry loop — train from scratch, loudly.
+        if os.environ.get("CHECKERPOSE_REQUIRE_BACKBONE_GRAFT", "0") == "1":
+            raise FileNotFoundError(
+                f"backbone_pretrain_checkpoint={bk_ck}: orbax found no "
+                "restorable step (CHECKERPOSE_REQUIRE_BACKBONE_GRAFT=1)")
         print(f"WARNING: backbone_pretrain_checkpoint={bk_ck} has no "
               "checkpoint; training the backbone from scratch", flush=True)
         return state

@@ -17,7 +17,7 @@ from checkerpose_tpu.cli.train import build_pose_net
 from checkerpose_tpu.data.bop_io import model_ply_path
 from checkerpose_tpu.data.ply import load_ply_vertices
 from checkerpose_tpu.eval.csv_writer import write_csv
-from checkerpose_tpu.eval.harness import evaluate_pipeline
+from checkerpose_tpu.eval.harness import calibrate_decode_tau, evaluate_pipeline
 from checkerpose_tpu.train.checkpoint import CheckpointManager
 from checkerpose_tpu.train.state import create_pose_state, make_optimizer
 
@@ -77,6 +77,22 @@ def main(cfg):
             and cfg["obj_name"] in ("pudding_box", "foam_brick")))
     main_filter = cfg.get("main_filter") or ("visib" if use_filter_visib else "none")
 
+    decode_mode = cfg.get("decode_mode", "hard")
+    tau = float(cfg.get("decode_conf_tau", 3.0))
+    tau_sweep = None
+    if decode_mode == "adaptive" and cfg.get("decode_tau_auto"):
+        # no manual tau given: auto-calibrate on a ≤32-image held-out val
+        # slice (the optimum is training-state dependent — VERDICT r3 #6)
+        factory = common.build_val_slice_loader_factory(cfg, xyz, crop_gt=res)
+        tau, tau_sweep = calibrate_decode_tau(
+            net, knn, state.variables(),
+            lambda: with_p3d(factory()), xyz, diameter,
+            stage=net.num_refine_steps, use_adi=cfg.get("is_symmetric", False),
+            main_filter=("visib" if main_filter == "none" else main_filter),
+            **common.solver_kwargs(cfg))
+        print(f"auto-calibrated decode_conf_tau={tau} "
+              f"(val-slice adx10 sweep: {tau_sweep})", flush=True)
+
     report = evaluate_pipeline(
         net, knn, state.variables(), with_p3d(loader), xyz, diameter,
         stage=net.num_refine_steps, use_adi=cfg.get("is_symmetric", False),
@@ -84,8 +100,13 @@ def main(cfg):
         **common.solver_kwargs(cfg),
         discard_bd_pixel=int(cfg.get("ignore_bit", 0)),
         main_filter=main_filter,
-        decode_mode=cfg.get("decode_mode", "hard"),
-        decode_conf_tau=float(cfg.get("decode_conf_tau", 3.0)))
+        decode_mode=decode_mode,
+        decode_conf_tau=tau)
+    report["decode_mode"] = decode_mode
+    if decode_mode == "adaptive":
+        report["decode_conf_tau"] = tau
+        if tau_sweep is not None:
+            report["tau_sweep"] = tau_sweep
 
     out_dir = cfg.get("eval_output_path", "eval_output")
     os.makedirs(out_dir, exist_ok=True)
@@ -150,6 +171,10 @@ if __name__ == "__main__":
         "test_batch_size": args.test_batch_size,
         "decode_mode": args.decode_mode,
         "decode_conf_tau": args.decode_conf_tau,
+        # --decode_mode adaptive WITHOUT --decode_conf_tau => calibrate tau
+        # automatically on a val slice (VERDICT r3 #6: no manual sweep)
+        "decode_tau_auto": (args.decode_mode == "adaptive"
+                            and args.decode_conf_tau is None) or None,
         "use_latest": args.use_latest or None,
     })
     main(cfg)

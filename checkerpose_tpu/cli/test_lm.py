@@ -51,7 +51,39 @@ def main(cfg):
     def with_p3d(loader):
         return common.with_p3d(loader, p3dn_stack)
 
+    decode_mode = cfg.get("decode_mode", "hard")
+    tau = float(cfg.get("decode_conf_tau", 3.0))
+    tau_sweep = None
+    if decode_mode == "adaptive" and cfg.get("decode_tau_auto"):
+        # no manual tau: calibrate on small val slices of the first few
+        # objects and average the per-tau adx10 (VERDICT r3 #6)
+        from checkerpose_tpu.eval.harness import (DEFAULT_TAU_GRID,
+                                                  calibrate_decode_tau)
+        per_tau = {float(t): [] for t in DEFAULT_TAU_GRID}
+        calib_ids = sorted_ids[:3]
+        for obj_id in calib_ids:
+            cfg_obj = dict(cfg)
+            cfg_obj["obj_id"] = obj_id
+            factory = common.build_val_slice_loader_factory(
+                cfg_obj, dict(p3d_table), max_images=16,
+                crop_gt=2 ** net.res_log2)
+            _, sweep = calibrate_decode_tau(
+                net, knn_stack, state.variables(),
+                lambda: with_p3d(factory()),
+                p3d_table[obj_id], float(minfo[obj_id]["diameter"]),
+                stage=net.num_refine_steps,
+                use_adi=(id_to_name[obj_id] in cfg["symmetric_names"]),
+                main_filter=("visib" if main_filter == "none" else main_filter),
+                **common.solver_kwargs(cfg))
+            for t, v in sweep.items():
+                per_tau[t].append(v)
+        tau_sweep = {t: float(np.mean(v)) for t, v in per_tau.items()}
+        tau = min(tau_sweep, key=lambda t: (-tau_sweep[t], t))
+        print(f"auto-calibrated decode_conf_tau={tau} (mean adx10 over "
+              f"{len(calib_ids)} objects: {tau_sweep})", flush=True)
+
     per_obj = {}
+    bit_errs = {}
     for obj_id in sorted_ids:
         name = id_to_name[obj_id]
         cfg_obj = dict(cfg)
@@ -82,19 +114,33 @@ def main(cfg):
             # RANSAC work across 13 objects for discarded numbers
             filter_modes=(main_filter,),
             main_filter=main_filter, sym_rots=sym_rots,
-            decode_mode=cfg.get("decode_mode", "hard"),
-            decode_conf_tau=float(cfg.get("decode_conf_tau", 3.0)),
+            decode_mode=decode_mode,
+            decode_conf_tau=tau,
             **common.solver_kwargs(cfg))
         per_obj[name] = {k: v for k, v in r[main_filter].items()}
         per_obj[name]["seg_iou"] = r["seg_iou"]
+        if "bit_err" in r:
+            bit_errs[name] = r["bit_err"]
         print(name, json.dumps(per_obj[name]))
 
     avg = {k: float(np.mean([v[k] for v in per_obj.values()]))
            for k in next(iter(per_obj.values()))}
     out_dir = cfg.get("eval_output_path", "eval_output")
     os.makedirs(out_dir, exist_ok=True)
+    full = {"per_object": per_obj, "average": avg,
+            "decode_mode": decode_mode}
+    if decode_mode == "adaptive":
+        full["decode_conf_tau"] = tau
+        if tau_sweep is not None:
+            full["tau_sweep"] = tau_sweep
+    if bit_errs:
+        # decode-invariant per-bit code errors, averaged across objects
+        # (per-object vectors kept too); tools/make_round_report.py surfaces
+        # the averaged vector on the AVERAGE row
+        full["bit_err"] = np.mean(list(bit_errs.values()), axis=0).tolist()
+        full["bit_err_per_object"] = bit_errs
     with open(os.path.join(out_dir, f"report_lm_{cfg['config_file_name']}.json"), "w") as f:
-        json.dump({"per_object": per_obj, "average": avg}, f, indent=2)
+        json.dump(full, f, indent=2)
     print("AVERAGE:", json.dumps(avg, indent=2))
     return per_obj, avg
 
@@ -128,6 +174,9 @@ if __name__ == "__main__":
         "adx_type": args.adx_type,
         "decode_mode": args.decode_mode,
         "decode_conf_tau": args.decode_conf_tau,
+        # adaptive without a manual tau => auto-calibrate (VERDICT r3 #6)
+        "decode_tau_auto": (args.decode_mode == "adaptive"
+                            and args.decode_conf_tau is None) or None,
         "use_latest": args.use_latest or None,
     })
     main(cfg)

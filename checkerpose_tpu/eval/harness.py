@@ -84,6 +84,33 @@ def evaluate_init(net, knn_idx, variables, loader, crop_size_gt: int,
 
 FILTER_MODES = ("none", "full", "visib")
 
+DEFAULT_TAU_GRID = (3.0, 4.0, 5.0, 6.0, 8.0)
+
+
+def calibrate_decode_tau(net, knn_idx, variables, loader_factory, p3d_xyz,
+                         diameter: float, *, stage: int,
+                         taus=DEFAULT_TAU_GRID, main_filter: str = "visib",
+                         **eval_kw):
+    """Pick decode_conf_tau by sweeping a SMALL held-out val slice.
+
+    The optimal confidence-truncation depth is training-state dependent
+    (measured round 3: tau=3 optimal at one checkpoint, pessimal at the
+    next — 0.19 vs 0.60 adx10 on identical weights), so any fixed tau is an
+    unreproducible protocol. This sweeps `taus` on the slice produced by
+    `loader_factory` (≤~32 images), scores adx10 under `main_filter`, and
+    returns (best_tau, {tau: adx10}). Ties break toward the SMALLEST tau
+    (less truncation = closer to reference hard-decode parity).
+    """
+    sweep = {}
+    for tau in taus:
+        rep = evaluate_pipeline(
+            net, knn_idx, variables, loader_factory(), p3d_xyz, diameter,
+            stage=stage, filter_modes=(main_filter,), main_filter=main_filter,
+            decode_mode="adaptive", decode_conf_tau=float(tau), **eval_kw)
+        sweep[float(tau)] = rep[main_filter]["adx10"]
+    best = min(sorted(sweep), key=lambda t: (-sweep[t], t))
+    return best, sweep
+
 
 def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
                       *, stage: int, use_adi: bool = False, vertices=None,

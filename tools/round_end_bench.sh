@@ -21,6 +21,12 @@ python benchmarks/bench_forward.py --batch 512
 echo "=== serving latency table (batch 1/8/64/512, sync + depth-2 stream)"
 python benchmarks/bench_serving.py
 
+echo "=== LM stacked-KNN step A/B: one-hot matmul gather vs take_along_axis"
+python benchmarks/bench_lm_step.py --batch 64
+CHECKERPOSE_ONEHOT_GATHER=0 python benchmarks/bench_lm_step.py --batch 64
+echo "--- single-object reference point (same shapes, static knn)"
+python benchmarks/bench_train_step.py --batch 64
+
 echo "=== e2e bench.py: pipeline-depth sweep (VERDICT r2 weak 1 attribution)"
 for d in 1 2 3 4 6; do
   echo "--- BENCH_DEPTH=$d"
