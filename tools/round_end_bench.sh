@@ -30,14 +30,11 @@ echo "=== e2e bench.py: EdgeConv A/B at the best depth"
 echo "--- fused Pallas EdgeConv OFF (XLA split-matmul)"
 CHECKERPOSE_FUSED_EDGECONV=0 timeout 600 python bench.py
 
-echo "=== official SO test: AUTO-calibrated adaptive decode (VERDICT r3 #6 artifact)"
-# companion to the proof driver's manual tau 4/5/6 sweep: --decode_mode
-# adaptive with NO --decode_conf_tau must calibrate tau on the val slice and
-# reproduce the manual sweep's optimum (report records the sweep)
-timeout 1800 python -u -m checkerpose_tpu.cli.test \
-  --cfg config/synth/hr18GNN2_res6_gnn3Skip_mlpQuery_synth.txt \
-  --obj_name obj01 --use_latest --decode_mode adaptive \
-  --eval_output_path eval_output_synth_r4/latest_adaptive_auto || true
+# (session 7) the AUTO-calibrated adaptive official test leg was removed:
+# chain_r4b's stage-1 cutover already produces eval_output_synth_r4/
+# latest_adaptive with NO --decode_conf_tau (= auto-calibration, the
+# VERDICT r3 #6 artifact); repeating it here cost up to 30 min of the
+# 75-min bench window that the LM proof needs.
 
 echo "=== forward path + roofline (batch 256 and 512)"
 timeout 900 python benchmarks/bench_forward.py --batch 256
