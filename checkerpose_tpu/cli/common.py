@@ -132,14 +132,20 @@ def build_val_slice_loader_factory(cfg: Dict, xyz: np.ndarray, *,
                                    batch_size: int = 16,
                                    crop_gt: Optional[int] = None):
     """Loader factory over a SMALL held-out val slice (first `max_images`
-    of val_folder, GT boxes, no detections) for decode-tau calibration
+    of `calib_folder`, GT boxes, no detections) for decode-tau calibration
     (VERDICT r3 #6). Returns a zero-arg factory because calibration sweeps
-    the same slice once per candidate tau."""
+    the same slice once per candidate tau.
+
+    `calib_folder` defaults to val_folder/test_folder for backward
+    compatibility, but configs SHOULD point it at a training split
+    (e.g. train_real): tau is a protocol hyperparameter and must not be
+    tuned on the images it is later quoted on."""
     crop_img = int(cfg.get("BoundingBox_CropSize_image", 256))
     crop_gt = crop_gt or 2 ** int(cfg.get("network_res_log2", 6))
     samples = scan_bop_object(
         cfg["bop_path"], cfg["dataset_name"],
-        cfg.get("val_folder", cfg.get("test_folder", "test")),
+        cfg.get("calib_folder",
+                cfg.get("val_folder", cfg.get("test_folder", "test"))),
         cfg["obj_id"], 0.1)[:max_images]
     ds = CropDataset(samples, xyz, is_train=False, crop_size_img=crop_img,
                      crop_size_gt=crop_gt,

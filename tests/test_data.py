@@ -169,3 +169,23 @@ def test_frame_cache_roundtrip(synth_root):
         # reopening from disk works too
         fc2 = FrameCache(td)
         assert fc2.get_frame(samples[0].rgb_path) is not None
+
+
+def test_val_slice_calib_folder(synth_root):
+    """Decode-tau calibration must draw its slice from `calib_folder` (a
+    TRAIN split) when configured, and only fall back to val/test otherwise
+    — tau is a protocol hyperparameter and must not be tuned on the images
+    it is quoted on (VERDICT r3 #6 protocol hardening)."""
+    from checkerpose_tpu.cli import common as cli_common
+    xyz, _ = load_keypoints_normed(synth_root, "synth", 1, 64)
+    cfg = {"bop_path": synth_root, "dataset_name": "synth", "obj_id": 1,
+           "val_folder": "test", "test_folder": "test",
+           "network_res_log2": 6}
+    # fallback: no calib_folder -> val_folder (test split)
+    loader = cli_common.build_val_slice_loader_factory(cfg, xyz, max_images=4)()
+    assert all("/test/" in s.rgb_path for s in loader.ds.samples)
+    # configured: calib_folder wins and the slice comes from the train split
+    loader = cli_common.build_val_slice_loader_factory(
+        dict(cfg, calib_folder="train_real"), xyz, max_images=4)()
+    assert len(loader.ds.samples) == 4
+    assert all("/train_real/" in s.rgb_path for s in loader.ds.samples)
