@@ -27,7 +27,7 @@ _FUSED_REGISTRY: contextvars.ContextVar[Dict[tuple, Any]] = contextvars.ContextV
 _ONEHOT_GATHER = os.environ.get("CHECKERPOSE_ONEHOT_GATHER", "1") != "0"
 
 
-def gather_neighbors(x: jnp.ndarray, knn_idx) -> jnp.ndarray:
+def gather_neighbors(x: jnp.ndarray, knn_idx, onehot: bool = True) -> jnp.ndarray:
     """x (B, N, C); knn_idx static (N, K) or per-sample traced (B, N, K).
 
     Returns neighbor features (B, N, K, C).
@@ -40,12 +40,19 @@ def gather_neighbors(x: jnp.ndarray, knn_idx) -> jnp.ndarray:
     (each output element is one input value; zero terms vanish exactly at
     any matmul precision), and the gradient is the transposed matmul --
     both MXU-resident. Scanned over the K neighbor slots to bound the
-    transient one-hot to (B, N, N) per chunk. Opt out with env
-    CHECKERPOSE_ONEHOT_GATHER=0 (take_along_axis path).
+    transient one-hot to (B, N, N) per chunk.
+
+    ``onehot=False`` forces the `take_along_axis` path for this call site:
+    round-4 measured the one-hot scan inside the INIT net's EdgeConvs
+    blowing the cli.pretrain_lm first-step XLA compile past 50 min on this
+    host (while the full refine net's identical gather compiled in ~2.5
+    min) — the init net's K-gather is tiny, so it keeps take_along_axis and
+    the one-hot win is reserved for the refine GNN (NOTES_ROUND4.md,
+    session 9). Env CHECKERPOSE_ONEHOT_GATHER=0 globally opts out.
     """
     if isinstance(knn_idx, (np.ndarray,)) or (hasattr(knn_idx, "ndim") and knn_idx.ndim == 2):
         return x[:, knn_idx]
-    if _ONEHOT_GATHER:
+    if _ONEHOT_GATHER and onehot:
         import jax
         N = x.shape[1]
         iota = jnp.arange(N, dtype=knn_idx.dtype)
@@ -90,6 +97,10 @@ class EdgeConv(nn.Module):
     features: int
     leaky_slope: float = 0.2
     dtype: Any = jnp.bfloat16
+    # Per-module opt-out of the one-hot per-sample gather (see
+    # gather_neighbors): the init net sets False (compile blowup, tiny K
+    # gather), the refine GNN keeps True (6x step win).
+    onehot_gather: bool = True
 
     @nn.compact
     def __call__(self, x, knn_idx, train: bool):
@@ -116,7 +127,8 @@ class EdgeConv(nn.Module):
         xd = x.astype(self.dtype)
         y = xd @ w1                                             # (B, N, C')
         z = xd @ wd
-        e = gather_neighbors(y, knn_idx) + z[:, :, None, :]     # (B, N, K, C')
+        e = gather_neighbors(y, knn_idx, onehot=self.onehot_gather) \
+            + z[:, :, None, :]                                  # (B, N, K, C')
         e = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="bn")(e)
         e = nn.leaky_relu(e.astype(self.dtype), negative_slope=self.leaky_slope)

@@ -67,7 +67,12 @@ class InitNet(nn.Module):
         self.sow("intermediates", "resp_map", g)
 
         for i in range(self.num_graph_module):
+            # onehot_gather=False: the one-hot per-sample gather inside the
+            # init net blew the cli.pretrain_lm first-step XLA compile past
+            # 50 min (round 4); its K-gather is tiny, so take_along_axis
+            # here, one-hot only in the refine GNN (models/graph.py).
             g = EdgeConv(64, self.graph_leaky_slope, dtype=self.dtype,
+                         onehot_gather=False,
                          name=f"graph_{i}")(g, knn_idx, train)
 
         bits = nn.Dense(self.num_out_bits, dtype=jnp.float32, name="mlp")(

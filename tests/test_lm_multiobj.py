@@ -130,3 +130,50 @@ def test_gather_neighbors_onehot_parity():
     g_want = jax.grad(lambda v: jnp.vdot(ref(v, idx), ct))(x)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_init_net_edgeconv_no_onehot_scan():
+    """Regression for the round-4 cli.pretrain_lm compile blowup: the one-hot
+    gather scan inside the INIT net's EdgeConvs pushed the first-step XLA
+    compile past 50 min on this host, while the identical gather in the full
+    refine net compiled in ~2.5 min (NOTES_ROUND4.md session 9). The init
+    net's K-gather is tiny, so it must lower via take_along_axis (no scan in
+    the jaxpr); EdgeConv's default keeps the one-hot scan for the refine GNN
+    where the ~6x step win lives."""
+    from checkerpose_tpu.models import graph
+
+    rng = np.random.default_rng(0)
+    B, N, Kn, C = 2, 16, 4, 8
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, (B, N, Kn)), jnp.int32)
+
+    def jaxpr_of(onehot_gather):
+        ec = graph.EdgeConv(8, onehot_gather=onehot_gather)
+        variables = ec.init(jax.random.PRNGKey(0), x, idx, False)
+        return str(jax.make_jaxpr(
+            lambda v, a, i: ec.apply(v, a, i, True,
+                                     mutable=["batch_stats"]))(variables, x, idx))
+
+    assert "scan" not in jaxpr_of(False)
+    assert "scan" in jaxpr_of(True)
+
+    # value parity between the two paths (train-mode forward)
+    ec_oh = graph.EdgeConv(8, onehot_gather=True)
+    ec_ta = graph.EdgeConv(8, onehot_gather=False)
+    variables = ec_oh.init(jax.random.PRNGKey(1), x, idx, False)
+    out_oh, _ = ec_oh.apply(variables, x, idx, True, mutable=["batch_stats"])
+    out_ta, _ = ec_ta.apply(variables, x, idx, True, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(out_oh, np.float32),
+                                  np.asarray(out_ta, np.float32))
+
+    # and the wired-in InitNet itself must not carry the scan on the
+    # per-sample (LM) path
+    from checkerpose_tpu.models.init_net import InitNet
+    net = InitNet(npoint=N, res_log2=3, backbone_name="resnet34",
+                  num_graph_module=1)
+    img = jnp.zeros((B, 256, 256, 3), jnp.float32)
+    nv = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), img, idx, False))
+    jaxpr = str(jax.make_jaxpr(
+        lambda v, a, i: net.apply(v, a, i, True, mutable=["batch_stats"]),
+    )(jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), nv), img, idx))
+    assert "scan" not in jaxpr
