@@ -13,9 +13,15 @@ measurement materializes a result-derived scalar on the host; no
 block_until_ready.
 
 Usage: python benchmarks/bench_serving.py  (prints a markdown table)
+
+Env CHECKERPOSE_SERVING_BATCHES="1,64" restricts the batch sweep (short
+quiet-chip windows); each row also prints incrementally as it completes so
+a wall-guard kill cannot lose the measured rows (the r4 end-window sweep
+lost entire legs to exactly that).
 """
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -49,8 +55,11 @@ def main():
     K = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]], np.float32)
     key = jax.random.PRNGKey(0)
 
+    batch_sizes = tuple(
+        int(b) for b in
+        os.environ.get("CHECKERPOSE_SERVING_BATCHES", "1,8,64,512").split(","))
     rows = []
-    for B in (1, 8, 64, 512):
+    for B in batch_sizes:
         images = rng.integers(0, 255, (B, 256, 256, 3)).astype(np.uint8)
         bbox = np.tile(np.array([50, 60, 130, 130], np.float32), (B, 1))
 
@@ -78,6 +87,8 @@ def main():
         assert got == n
         stream_ms = dt / n * 1e3
         rows.append((B, sync_ms, stream_ms, B * n / dt))
+        print(f"row: batch {B}  sync {sync_ms:.1f} ms  stream {stream_ms:.1f} "
+              f"ms/batch  {B * n / dt:.0f} crops/s", flush=True)
 
     print("\n| batch | sync latency ms | stream ms/batch | stream crops/s |")
     print("|---|---|---|---|")
