@@ -57,7 +57,8 @@ def main():
 
     batch_sizes = tuple(
         int(b) for b in
-        os.environ.get("CHECKERPOSE_SERVING_BATCHES", "1,8,64,512").split(","))
+        os.environ.get("CHECKERPOSE_SERVING_BATCHES", "1,8,64,512").split(",")
+        if b.strip().isdigit())
     rows = []
     for B in batch_sizes:
         images = rng.integers(0, 255, (B, 256, 256, 3)).astype(np.uint8)

@@ -48,7 +48,10 @@ def gather_neighbors(x: jnp.ndarray, knn_idx, onehot: bool = True) -> jnp.ndarra
     host (while the full refine net's identical gather compiled in ~2.5
     min) — the init net's K-gather is tiny, so it keeps take_along_axis and
     the one-hot win is reserved for the refine GNN (NOTES_ROUND4.md,
-    session 9). Env CHECKERPOSE_ONEHOT_GATHER=0 globally opts out.
+    session 9). Env CHECKERPOSE_ONEHOT_GATHER=0 globally opts out; the env
+    var is read ONCE at module import (`_ONEHOT_GATHER`) — setting it after
+    `checkerpose_tpu.models.graph` is imported has no effect (use the
+    per-module `onehot_gather` field for runtime control).
     """
     if isinstance(knn_idx, (np.ndarray,)) or (hasattr(knn_idx, "ndim") and knn_idx.ndim == 2):
         return x[:, knn_idx]
