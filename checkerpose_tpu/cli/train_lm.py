@@ -79,10 +79,21 @@ def main(cfg):
         print(f"teacher forcing annealed {tf_base} -> {tf_prob:.3f} "
               f"(resume step {int(state.step)})", flush=True)
 
+    prefix_mask = (not full_bits) and bool(cfg.get("prefix_correct_finebit_mask", False))
+    if prefix_mask:
+        print(f"prefix-correct fine-bit masking ON (resume step {int(state.step)})",
+              flush=True)
+
     step_fns = {}
     for stage in range(1, net.num_refine_steps + 1):
+        bw = steps.finebit_bit_weights(
+            cfg, int(state.step),
+            net.res_log2 if full_bits else 3 + stage)
+        if bw is not None and stage == net.num_refine_steps:
+            print(f"fine-bit loss boost active: weights {bw}", flush=True)
         step_fns[stage] = steps.make_train_step(
             net, knn_stack, opt, stage=stage,
+            bit_weights=bw, prefix_correct_mask=prefix_mask,
             roi_loss_type=cfg.get("RoiBit_Loss_Type", "BCE"),
             proj_loss_type=cfg.get("ProjBit_Loss_Type", "BCE"),
             seg_visib_loss_weight=float(cfg.get("seg_visib_loss_weight", 1.0)),

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import optax
 
 from checkerpose_tpu.losses import (masked_code_loss, unmasked_code_loss,
-                                    mask_loss_interpolate)
+                                    mask_loss_interpolate,
+                                    per_bit_masked_code_loss)
 from checkerpose_tpu.ops import augment, codes, crop, geometry
 
 
@@ -43,6 +44,28 @@ def teacher_force_prob_at(step: int, base: float, anneal_start: int,
         return base
     frac = (step - anneal_start) / float(anneal_end - anneal_start)
     return base * min(1.0, max(0.0, 1.0 - frac))
+
+
+def finebit_bit_weights(cfg, step: int, active_bits: int):
+    """Resolve the fine-bit loss-boost cfg keys to a per-bit weight tuple
+    (or None = parity) at segment-resume `step`.
+
+    Keys (all opt-in; absent = reference parity):
+      * finebit_loss_boost_weight: weight applied to bits >= start_bit
+        (coarser bits keep 1.0 — pure amplification, no re-normalization).
+      * finebit_boost_start_bit (default 4): first boosted bit index
+        (0-based MSB-first; 4 = the two finest of res_log2=6).
+      * finebit_boost_start_step (default = refine_teacher_force_anneal_end):
+        boost activates on the autonomous tail only. Piecewise per segment
+        restart, like the TF anneal.
+    """
+    boost = float(cfg.get("finebit_loss_boost_weight", 0.0) or 0.0)
+    start_bit = int(cfg.get("finebit_boost_start_bit", 4))
+    start_step = int(cfg.get("finebit_boost_start_step",
+                             cfg.get("refine_teacher_force_anneal_end", 0)))
+    if boost <= 0.0 or step < start_step or active_bits <= start_bit:
+        return None
+    return tuple(1.0 if j < start_bit else boost for j in range(active_bits))
 
 
 def nocs_labels(depth, mask_visib, bbox, cam_K, R, t, diameter: float):
@@ -380,7 +403,8 @@ def make_train_step(net, knn_idx, optimizer: optax.GradientTransformation,
                     use_pepper_salt=True, use_motion_blur=True,
                     full_bits=False, color_aug_prob=0.8, aux_heatmap_weight=0.0,
                     aux_refine_weight=0.0, teacher_force_prob=0.0,
-                    coord_reg_weight=0.0):
+                    coord_reg_weight=0.0, bit_weights=None,
+                    prefix_correct_mask=False):
     """Full-pipeline train step; one compiled variant per curriculum stage.
 
     full_bits: the woProg ablation emits all res_log2 bits at every stage
@@ -388,10 +412,30 @@ def make_train_step(net, knn_idx, optimizer: optax.GradientTransformation,
     aux_refine_weight: weight of `_aux_refine_loss` (requires the net built
     with aux_refine_heads=True).
     teacher_force_prob: per-keypoint probability of teacher-forced refine
-    conditioning (PoseNet tf_gather docstring); 0 = reference parity."""
+    conditioning (PoseNet tf_gather docstring); 0 = reference parity.
+    bit_weights: optional length-`active_bits` per-bit x/y loss weights
+    (the autonomous-tail fine-bit re-weighting lever, VERDICT r4 item 2);
+    None = reference parity. Static per compiled step — the segmented-
+    restart drivers re-build step fns each segment, so a schedule is
+    approximated piecewise like the TF anneal.
+    prefix_correct_mask: supervise each refine bit (index >= 3) ONLY at
+    keypoints whose PREDICTED conditioning cell (the joint x/y bit prefix
+    the refine gather actually used, `models/posenet.py` hard ids) matches
+    the GT cell — plus TF-forced keypoints, whose conditioning is GT by
+    construction. Rationale: with a wrong prefix cell the gathered refine
+    features sit at the wrong image location, so the GT fine bit is not a
+    function of the input the query head sees; BCE there labels noise.
+    The reference (pure masked BCE over all bits,
+    `checkerpose/losses/code_loss.py:29-62`) relies on low prefix error
+    from its ImageNet-pretrained backbone; False = reference parity."""
     res_log2 = net.res_log2
     crop_size_gt = 2 ** res_log2
     active_bits = res_log2 if full_bits else 3 + stage
+    if bit_weights is not None:
+        assert len(bit_weights) == active_bits, (len(bit_weights), active_bits)
+        bit_weights = jnp.asarray(bit_weights, jnp.float32)
+    use_per_bit = (bit_weights is not None) or (prefix_correct_mask and not full_bits
+                                                and active_bits > 3)
     mutable = ["batch_stats"] + (
         ["intermediates"] if (aux_heatmap_weight or aux_refine_weight) else [])
 
@@ -417,15 +461,48 @@ def make_train_step(net, knn_idx, optimizer: optax.GradientTransformation,
                 imgs, knn_b, p3d, stage=stage, train=True,
                 mutable=mutable, **tf_kw)
             l_roi = unmasked_code_loss(out["roi_logit"], roi_bit, roi_loss_type)
-            l_x = masked_code_loss(out["x_logits"], gt_x, roi_bit, proj_loss_type)
-            l_y = masked_code_loss(out["y_logits"], gt_y, roi_bit, proj_loss_type)
+            extra_metrics = {}
+            if use_per_bit:
+                bit_masks = None
+                if prefix_correct_mask and not full_bits and active_bits > 3:
+                    # 1 where ALL predicted x AND y bits < j match GT (the
+                    # conditioning cell of refine bit j); init bits (<3) are
+                    # image-conditioned, always supervised.
+                    eq_x = 1.0 - jnp.abs((out["x_logits"] > 0).astype(jnp.float32) - gt_x)
+                    eq_y = 1.0 - jnp.abs((out["y_logits"] > 0).astype(jnp.float32) - gt_y)
+                    ones = jnp.ones_like(eq_x[..., :1])
+                    pre_x = jnp.concatenate(
+                        [ones, jnp.cumprod(eq_x, axis=-1)[..., :-1]], axis=-1)
+                    pre_y = jnp.concatenate(
+                        [ones, jnp.cumprod(eq_y, axis=-1)[..., :-1]], axis=-1)
+                    cell_ok = pre_x * pre_y
+                    if tf_kw:
+                        cell_ok = jnp.maximum(
+                            cell_ok, sel.astype(jnp.float32)[..., None])
+                    j = jnp.arange(active_bits)
+                    bit_masks = jax.lax.stop_gradient(
+                        jnp.where(j[None, None, :] < 3, 1.0, cell_ok))
+                    # fraction of in-roi keypoints whose finest-bit
+                    # conditioning cell is correct (supervision coverage)
+                    extra_metrics["finebit_sup_frac"] = (
+                        jnp.sum(bit_masks[..., -1] * roi_bit[..., 0])
+                        / jnp.clip(jnp.sum(roi_bit[..., 0]), 1.0, None))
+                l_x = per_bit_masked_code_loss(out["x_logits"], gt_x, roi_bit,
+                                               bit_masks, bit_weights,
+                                               proj_loss_type)
+                l_y = per_bit_masked_code_loss(out["y_logits"], gt_y, roi_bit,
+                                               bit_masks, bit_weights,
+                                               proj_loss_type)
+            else:
+                l_x = masked_code_loss(out["x_logits"], gt_x, roi_bit, proj_loss_type)
+                l_y = masked_code_loss(out["y_logits"], gt_y, roi_bit, proj_loss_type)
             l_sv = mask_loss_interpolate(out["seg_logits"][..., 0], batch["mask_visib"])
             l_sf = mask_loss_interpolate(out["seg_logits"][..., 1], batch["mask_full"])
             total = (l_roi + l_x + l_y + seg_visib_loss_weight * l_sv
                      + seg_full_loss_weight * l_sf)
             metrics = {"loss": total, "loss_roi": l_roi, "loss_x": l_x,
                        "loss_y": l_y, "loss_seg_visib": l_sv,
-                       "loss_seg_full": l_sf}
+                       "loss_seg_full": l_sf, **extra_metrics}
             if aux_heatmap_weight:
                 resp = updates["intermediates"]["init_net"]["resp_map"][0]
                 l_aux = _aux_heatmap_loss(resp, roi_bit, x_id, y_id, res_log2)

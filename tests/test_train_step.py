@@ -434,3 +434,71 @@ def test_train_step_with_coord_reg(setup):
     assert np.isfinite(float(m["loss_coord"]))
     assert float(m["loss_coord"]) > 0.0
     assert not np.allclose(before, np.asarray(jax.tree.leaves(sd["params"])[0]))
+
+
+def test_finebit_bit_weights_resolution():
+    """Cfg -> per-bit weight tuple: active only on the autonomous tail
+    (default start = TF anneal end), boosting bits >= start_bit."""
+    cfg = {"finebit_loss_boost_weight": 4.0,
+           "refine_teacher_force_anneal_end": 5000}
+    assert steps.finebit_bit_weights(cfg, 4999, 6) is None       # pre-tail
+    assert steps.finebit_bit_weights(cfg, 5000, 6) == (1.0, 1.0, 1.0, 1.0, 4.0, 4.0)
+    assert steps.finebit_bit_weights(cfg, 5000, 4) is None       # no boosted bit yet
+    cfg["finebit_boost_start_bit"] = 3
+    assert steps.finebit_bit_weights(cfg, 5000, 4) == (1.0, 1.0, 1.0, 4.0)
+    cfg["finebit_boost_start_step"] = 7000                        # explicit start
+    assert steps.finebit_bit_weights(cfg, 6000, 4) is None
+    assert steps.finebit_bit_weights(cfg, 7000, 4) == (1.0, 1.0, 1.0, 4.0)
+    assert steps.finebit_bit_weights({}, 0, 6) is None            # parity default
+
+
+def test_train_step_finebit_levers(setup):
+    """bit_weights + prefix_correct_mask wire through make_train_step: the
+    supervision-coverage metric is reported in [0,1], losses stay finite,
+    params update; unit weights with masking off reproduce the parity loss."""
+    p3d, knn = setup
+    net = PoseNet(npoint=NPT, res_log2=6, backbone_name="resnet34",
+                  num_graph_module=1, init_num_graph_module=1, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    state = create_pose_state(net, knn, CROP, opt, NPT)
+    batch = _fake_batch(np.random.default_rng(9))
+    from checkerpose_tpu.ops.geometry import pc_normalize
+    batch["p3d_normed"] = np.tile(pc_normalize(p3d)[None], (2, 1, 1)).astype(np.float32)
+
+    def fresh():
+        return jax.tree.map(jnp.array,
+                            {"params": state.params,
+                             "batch_stats": state.batch_stats,
+                             "opt_state": state.opt_state})
+
+    # parity: unit weights == default masked loss
+    base = steps.make_train_step(net, knn, opt, stage=3, use_pepper_salt=False,
+                                 use_motion_blur=False, color_aug_prob=0.0)
+    unit = steps.make_train_step(net, knn, opt, stage=3, use_pepper_salt=False,
+                                 use_motion_blur=False, color_aug_prob=0.0,
+                                 bit_weights=(1.0,) * 6)
+    _, m0 = base(fresh(), batch, jax.random.PRNGKey(0))
+    _, m1 = unit(fresh(), batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m0["loss_x"]), float(m1["loss_x"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m0["loss_y"]), float(m1["loss_y"]), rtol=1e-5)
+
+    # boosted fine bits raise the x/y loss (untrained net: every bit has error)
+    boosted = steps.make_train_step(net, knn, opt, stage=3, use_pepper_salt=False,
+                                    use_motion_blur=False, color_aug_prob=0.0,
+                                    bit_weights=(1.0, 1.0, 1.0, 1.0, 4.0, 4.0))
+    _, m2 = boosted(fresh(), batch, jax.random.PRNGKey(0))
+    assert float(m2["loss_x"]) > float(m0["loss_x"])
+
+    # prefix-correct masking: coverage metric present, sane, loss finite,
+    # params still update
+    masked = steps.make_train_step(net, knn, opt, stage=3, use_pepper_salt=False,
+                                   use_motion_blur=False, color_aug_prob=0.0,
+                                   prefix_correct_mask=True,
+                                   teacher_force_prob=0.5)
+    sd = fresh()
+    before = np.asarray(jax.tree.leaves(sd["params"])[0]).copy()
+    sd, m3 = masked(sd, batch, jax.random.PRNGKey(0))
+    frac = float(m3["finebit_sup_frac"])
+    assert 0.0 <= frac <= 1.0
+    assert np.isfinite(float(m3["loss"]))
+    assert not np.allclose(before, np.asarray(jax.tree.leaves(sd["params"])[0]))
