@@ -109,7 +109,8 @@ def main(cfg):
         print(f"teacher forcing annealed {tf_base} -> {tf_prob:.3f} "
               f"(resume step {int(state.step)})", flush=True)
 
-    prefix_mask = bool(cfg.get("prefix_correct_finebit_mask", False))
+    prefix_mask = (bool(cfg.get("prefix_correct_finebit_mask", False))
+                   and int(state.step) >= int(cfg.get("prefix_correct_start_step", 0)))
     if prefix_mask:
         print(f"prefix-correct fine-bit masking ON (resume step {int(state.step)})",
               flush=True)
