@@ -101,8 +101,11 @@ def main(cfg):
         discard_bd_pixel=int(cfg.get("ignore_bit", 0)),
         main_filter=main_filter,
         decode_mode=decode_mode,
-        decode_conf_tau=tau)
+        decode_conf_tau=tau,
+        filter_judge_bits=cfg.get("filter_judge_bits"))
     report["decode_mode"] = decode_mode
+    if cfg.get("filter_judge_bits") is not None:
+        report["filter_judge_bits"] = int(cfg["filter_judge_bits"])
     if decode_mode == "adaptive":
         report["decode_conf_tau"] = tau
         if tau_sweep is not None:
@@ -151,6 +154,11 @@ def parse_args():
     p.add_argument("--decode_mode", default=None,
                    choices=("hard", "soft", "adaptive"))
     p.add_argument("--decode_conf_tau", type=float, default=None)
+    p.add_argument("--filter_judge_bits", type=int, default=None,
+                   help="judge seg/boundary filters at the top-k-bit cell "
+                        "center (mitigates the fine-bit filter collapse, "
+                        "tools/diag_filter_collapse.py); default = reference "
+                        "parity (full-res hard claim)")
     p.add_argument("--use_latest", action="store_true",
                    help="evaluate the latest rolling checkpoint, not best")
     return p.parse_args()
@@ -171,6 +179,7 @@ if __name__ == "__main__":
         "test_batch_size": args.test_batch_size,
         "decode_mode": args.decode_mode,
         "decode_conf_tau": args.decode_conf_tau,
+        "filter_judge_bits": args.filter_judge_bits,
         # --decode_mode adaptive WITHOUT --decode_conf_tau => calibrate tau
         # automatically on a val slice (VERDICT r3 #6: no manual sweep)
         "decode_tau_auto": (args.decode_mode == "adaptive"

@@ -116,6 +116,7 @@ def main(cfg):
             main_filter=main_filter, sym_rots=sym_rots,
             decode_mode=decode_mode,
             decode_conf_tau=tau,
+            filter_judge_bits=cfg.get("filter_judge_bits"),
             **common.solver_kwargs(cfg))
         per_obj[name] = {k: v for k, v in r[main_filter].items()}
         per_obj[name]["seg_iou"] = r["seg_iou"]
@@ -161,6 +162,9 @@ if __name__ == "__main__":
     p.add_argument("--decode_mode", default=None,
                    choices=[None, "hard", "soft", "adaptive"])
     p.add_argument("--decode_conf_tau", type=float, default=None)
+    p.add_argument("--filter_judge_bits", type=int, default=None,
+                   help="judge seg/boundary filters at the top-k-bit cell "
+                        "center (see cli/test.py / tools/diag_filter_collapse.py)")
     p.add_argument("--use_latest", action="store_true",
                    help="evaluate the latest rolling checkpoint, not best")
     args = p.parse_args()
@@ -174,6 +178,7 @@ if __name__ == "__main__":
         "adx_type": args.adx_type,
         "decode_mode": args.decode_mode,
         "decode_conf_tau": args.decode_conf_tau,
+        "filter_judge_bits": args.filter_judge_bits,
         # adaptive without a manual tau => auto-calibrate (VERDICT r3 #6)
         "decode_tau_auto": (args.decode_mode == "adaptive"
                             and args.decode_conf_tau is None) or None,

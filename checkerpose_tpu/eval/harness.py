@@ -122,7 +122,8 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
                       filter_modes=FILTER_MODES, main_filter: str = "visib",
                       sym_rots=None, seed: int = 0,
                       decode_mode: str = "hard",
-                      decode_conf_tau: float = 3.0) -> Dict:
+                      decode_conf_tau: float = 3.0,
+                      filter_judge_bits: Optional[int] = None) -> Dict:
     """Full eval sweep. Returns aggregate metrics + per-image poses for CSV.
 
     p3d_xyz: (N, 3) keypoints (mm) used for PnP; `vertices`: denser model
@@ -149,6 +150,7 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
     per_mode_errs = {m: [] for m in filter_modes}
     per_mode_re = {m: [] for m in filter_modes}
     per_mode_te = {m: [] for m in filter_modes}
+    per_mode_nvalid = {m: [] for m in filter_modes}
     poses: List[Dict] = []
     seg_acc, seg_iou = [], []
     bit_errs = []
@@ -176,6 +178,26 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
                                         decode_conf_tau)
         else:
             dec_x, dec_y = out["x_id"], out["y_id"]
+        # seg/boundary filters judge the net's hard claim by default. With
+        # unlearned fine bits that claim carries up-to-a-coarse-cell noise,
+        # and the filter truncates it ASYMMETRICALLY (only inward-displaced
+        # claims stay on the mask): the surviving 2D field is radially
+        # shrunk (~3%) and EPnP absorbs it as pose bias — the round-4 hard-
+        # decode filter collapse, reproduced model-free by
+        # tools/diag_filter_collapse.py (0.375 -> 0.031 adx10 at bit-3-level
+        # noise; surviving-subset radial alpha 0.971). filter_judge_bits=k
+        # judges the filters at the top-k-bit cell CENTER instead, making
+        # the filter decision independent of the noisy fine bits (recovers
+        # 5x in the diagnostic). None = reference parity
+        # (`test_network_with_test_data.py:56-62` judges the full-res ids).
+        fx, fy = out["x_id"], out["y_id"]
+        if filter_judge_bits is not None:
+            L = int(math.log2(res))
+            s = max(L - int(filter_judge_bits), 0)
+            if s > 0:
+                half = (1 << s) // 2
+                fx = (fx.astype(jnp.int32) >> s << s) + half
+                fy = (fy.astype(jnp.int32) >> s << s) + half
         p2d_all, valid_all = [], []
         for mode in filter_modes:
             seg = {"none": None, "full": out["seg_full"],
@@ -184,7 +206,7 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
                 dec_x, dec_y, out["roi_mask"],
                 jnp.asarray(batch["bbox"]), crop_size_gt=res, seg_mask=seg,
                 check_seg=(mode != "none"), discard_bd_pixel=discard_bd_pixel,
-                filter_x_id=out["x_id"], filter_y_id=out["y_id"])
+                filter_x_id=fx, filter_y_id=fy)
             p2d_all.append(p2d)
             valid_all.append(valid)
         camK = jnp.asarray(batch["cam_K"])
@@ -203,6 +225,12 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
         sol_all = {k: np.asarray(v) for k, v in sol_all.items()}
         errs_all = {k: np.asarray(v) for k, v in errs_all.items()}
 
+        # filter-survival instrumentation (VERDICT r4 #3): how many
+        # correspondences each filter keeps — the collapse signature is a
+        # mode whose adx craters while counts stay high (systematic bias,
+        # not solver starvation) or craters with counts < min-points
+        # (identity fallback)
+        nvalid_np = np.asarray(jnp.stack([v.sum(axis=1) for v in valid_all]))
         mode_results = {}
         for mi, mode in enumerate(filter_modes):
             sl = slice(mi * B, (mi + 1) * B)
@@ -210,6 +238,7 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
             ok = sol["success"] & sample_valid
             adx = np.where(ok, errs_all["adx"][sl], np.inf)
             per_mode_errs[mode].append(adx[:n_real])
+            per_mode_nvalid[mode].append(nvalid_np[mi][:n_real])
             per_mode_re[mode].append(
                 np.where(ok, errs_all["re"][sl], 180.0)[:n_real])
             per_mode_te[mode].append(
@@ -253,7 +282,8 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
             report[mode] = {k: 0.0 for k in ("adx02", "adx05", "adx10",
                                              "auc_posecnn", "mean_re_deg",
                                              "mean_te_mm", "rete2", "rete5",
-                                             "re2", "re5", "te2", "te5")}
+                                             "re2", "re5", "te2", "te5",
+                                             "n_valid_mean", "n_valid_lt6_frac")}
         report["seg_acc"] = report["seg_iou"] = 0.0
         report["test_acc"] = 0.0
         return report
@@ -271,6 +301,9 @@ def evaluate_pipeline(net, knn_idx, variables, loader, p3d_xyz, diameter: float,
         # failed solves carry re=180, te=inf and so fail every threshold,
         # matching the reference's nan->10000
         res_m.update(M.rete_pass_rates(re, te))
+        nv = np.concatenate(per_mode_nvalid[mode])
+        res_m["n_valid_mean"] = float(nv.mean())
+        res_m["n_valid_lt6_frac"] = float((nv < 6).mean())
         report[mode] = res_m
     report["seg_acc"] = float(np.mean(seg_acc)) if seg_acc else 1.0
     report["seg_iou"] = float(np.mean(seg_iou)) if seg_iou else 1.0

@@ -502,3 +502,38 @@ def test_train_step_finebit_levers(setup):
     assert 0.0 <= frac <= 1.0
     assert np.isfinite(float(m3["loss"]))
     assert not np.allclose(before, np.asarray(jax.tree.leaves(sd["params"])[0]))
+
+
+def test_evaluate_pipeline_filter_judge_bits(setup):
+    """filter_judge_bits=k judges seg/boundary filters at the top-k-bit cell
+    center (fine-bit filter-collapse mitigation, tools/diag_filter_collapse.py)
+    and must produce a sane report; k=res_log2 must equal parity (the shift
+    is zero, ids unchanged)."""
+    p3d, knn = setup
+    net = PoseNet(npoint=NPT, res_log2=6, backbone_name="resnet34",
+                  num_graph_module=1, init_num_graph_module=1, dtype=jnp.float32)
+    opt = make_optimizer(1e-3)
+    state = create_pose_state(net, knn, CROP, opt, NPT)
+    batch = _fake_batch(np.random.default_rng(5))
+    from checkerpose_tpu.ops.geometry import pc_normalize
+    batch["p3d_normed"] = np.tile(pc_normalize(p3d)[None], (2, 1, 1)).astype(np.float32)
+    batch["R"] = np.tile(np.eye(3, dtype=np.float32)[None], (2, 1, 1))
+    batch["t"] = np.tile(np.array([0, 0, 400], np.float32)[None], (2, 1))
+    batch["cam_K"] = np.tile(np.array([[572.4, 0, 325], [0, 573.5, 242],
+                                       [0, 0, 1]], np.float32)[None], (2, 1, 1))
+    batch["valid"] = np.ones(2, np.float32)
+    batch["scene_id"] = np.zeros(2, np.int32)
+    batch["im_id"] = np.arange(2, dtype=np.int32)
+
+    from checkerpose_tpu.eval.harness import evaluate_pipeline
+    kw = dict(stage=3, use_adi=False, num_hyp=16,
+              filter_modes=("visib",), main_filter="visib", seed=3)
+    coarse = evaluate_pipeline(net, knn, state.variables(), iter([dict(batch)]),
+                               p3d, 60.0, filter_judge_bits=4, **kw)
+    assert 0.0 <= coarse["visib"]["adx10"] <= 1.0
+    assert coarse["visib"]["n_valid_mean"] >= 0.0
+    parity = evaluate_pipeline(net, knn, state.variables(), iter([dict(batch)]),
+                               p3d, 60.0, filter_judge_bits=6, **kw)
+    plain = evaluate_pipeline(net, knn, state.variables(), iter([dict(batch)]),
+                              p3d, 60.0, **kw)
+    assert parity["visib"]["n_valid_mean"] == plain["visib"]["n_valid_mean"]

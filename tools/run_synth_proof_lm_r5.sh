@@ -49,9 +49,16 @@ run_watchdogged() {  # dead-claim watchdog, see run_synth_proof.sh
     cpu=$(( ${14} + ${15} ))
     if [ $(( cpu - prev )) -lt 200 ]; then stalls=$(( stalls + 1 )); else stalls=0; fi
     prev=$cpu
-    if [ "$stalls" -ge 5 ]; then
-      echo "WATCHDOG: pid $pid stalled — killing" >&2
-      kill -9 "$pid"; wait "$pid" 2>/dev/null; return 1
+    # 8-min tolerance: a tunnel-claim wait after a wedge can exceed 5 min
+    # (round-4 session-8 cascade); killing a claim-WAITER renews the wedge
+    if [ "$stalls" -ge 8 ]; then
+      echo "WATCHDOG: pid $pid stalled — killing, then cooling 240s" >&2
+      kill -9 "$pid"; wait "$pid" 2>/dev/null
+      # the kill -9 above may itself wedge the claim for successors; retrying
+      # immediately gets the successor watchdog-killed, renewing the wedge
+      # forever (the round-4 4-kill cascade). Cool off before any retry.
+      sleep 240
+      return 1
     fi
   done
   wait "$pid"
