@@ -52,11 +52,12 @@ run_watchdogged() {  # dead-claim watchdog, see run_synth_proof.sh
     # 8-min tolerance: a tunnel-claim wait after a wedge can exceed 5 min
     # (round-4 session-8 cascade); killing a claim-WAITER renews the wedge
     if [ "$stalls" -ge 8 ]; then
-      echo "WATCHDOG: pid $pid stalled — killing, then cooling 240s" >&2
-      kill -9 "$pid"; wait "$pid" 2>/dev/null
-      # the kill -9 above may itself wedge the claim for successors; retrying
-      # immediately gets the successor watchdog-killed, renewing the wedge
-      # forever (the round-4 4-kill cascade). Cool off before any retry.
+      # TERM first: a claim-WAITER exits cleanly and does not renew the
+      # tunnel wedge; kill -9 does (the round-4 4-kill cascade: every -9 of
+      # a waiter extended the wedge and the retry loop never recovered).
+      echo "WATCHDOG: pid $pid stalled — TERM, grace 20s, then cooling 240s" >&2
+      kill "$pid"; sleep 20
+      kill -9 "$pid" 2>/dev/null; wait "$pid" 2>/dev/null
       sleep 240
       return 1
     fi

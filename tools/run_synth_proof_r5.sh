@@ -60,8 +60,10 @@ run_watchdogged() {  # dead-claim watchdog + post-kill cooldown (see LM r5)
     if [ $(( cpu - prev )) -lt 200 ]; then stalls=$(( stalls + 1 )); else stalls=0; fi
     prev=$cpu
     if [ "$stalls" -ge 8 ]; then
-      echo "WATCHDOG: pid $pid stalled — killing, then cooling 240s" >&2
-      kill -9 "$pid"; wait "$pid" 2>/dev/null
+      # TERM first (claim-waiters exit cleanly; -9 renews the tunnel wedge)
+      echo "WATCHDOG: pid $pid stalled — TERM, grace 20s, then cooling 240s" >&2
+      kill "$pid"; sleep 20
+      kill -9 "$pid" 2>/dev/null; wait "$pid" 2>/dev/null
       sleep 240
       return 1
     fi
