@@ -125,6 +125,7 @@ def main(cfg):
     def eval_fn(variables):
         accs = {}
         bit_means = []
+        bit_vecs = []
         for obj_id in sorted_ids:
             name = id_to_name[obj_id]
             r = evaluate_pipeline(
@@ -138,8 +139,18 @@ def main(cfg):
             accs[name] = r["test_acc"]
             if "bit_err" in r:
                 bit_means.append(float(np.mean(r["bit_err"])))
+                bit_vecs.append(r["bit_err"])
         mean = float(np.mean(list(accs.values())))
         print("per-object adx10:", {k: round(v, 4) for k, v in accs.items()})
+        if bit_vecs:
+            # object-averaged per-bit errors (roi, x MSB->LSB, y MSB->LSB):
+            # the live view of which progressive bits have cracked (same
+            # format as cli.train's eval print)
+            bv = np.mean(np.asarray(bit_vecs), axis=0)
+            L = (len(bv) - 1) // 2
+            print("  bit_err roi={:.3f} x=[{}] y=[{}]".format(
+                bv[0], " ".join(f"{v:.3f}" for v in bv[1:1 + L]),
+                " ".join(f"{v:.3f}" for v in bv[1 + L:])), flush=True)
         ev = {"test_acc": mean}
         if len(bit_means) == len(sorted_ids):
             # decode-invariant gate, as in cli.train: mean per-bit accuracy
