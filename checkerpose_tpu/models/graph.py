@@ -100,10 +100,15 @@ class EdgeConv(nn.Module):
     features: int
     leaky_slope: float = 0.2
     dtype: Any = jnp.bfloat16
-    # Per-module opt-out of the one-hot per-sample gather (see
-    # gather_neighbors): the init net sets False (compile blowup, tiny K
-    # gather), the refine GNN keeps True (6x step win).
-    onehot_gather: bool = True
+    # Per-module opt-in to the one-hot per-sample gather (see
+    # gather_neighbors). DEFAULT FLIPPED to False in round 5: the amortized
+    # (single-sync, 20-step chained) A/B at batch 64 measured take_along at
+    # 384/385 ms/step vs the one-hot scan at 491/497 ms — the one-hot "win"
+    # recorded at the wall in round 4b (559 vs 772 ms) was tunnel-dispatch
+    # noise, and chip-level the scan is 28% SLOWER on the current program
+    # (BENCH.md round-5 A/B). The two paths are value-exact-identical
+    # (tests/test_lm_multiobj.py), so this is purely a perf default.
+    onehot_gather: bool = False
 
     @nn.compact
     def __call__(self, x, knn_idx, train: bool):
