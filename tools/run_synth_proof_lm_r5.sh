@@ -65,6 +65,20 @@ run_watchdogged() {  # dead-claim watchdog, see run_synth_proof.sh
   wait "$pid"
 }
 
+bank() {  # commit small evidence after every segment — a VM restore keeps
+  # only git state (CLAUDE.md rule 12); without this, a restore erases a
+  # whole campaign's results (round-5 final session, SO A/B).
+  ( cd /root/repo || exit 0
+    find experiments/tensorboard_logs -name metrics.jsonl -size -20M \
+      2>/dev/null | while read -r f; do git add -f "$f"; done
+    find experiments/checkpoints -name best_score.json 2>/dev/null \
+      | while read -r f; do git add -f "$f"; done
+    [ -d "$OUT" ] && git add -f "$OUT" 2>/dev/null
+    git diff --cached --quiet 2>/dev/null \
+      || git commit -q -m "bank: LM r5 evidence ($1)" || true
+  )
+}
+
 seg_loop() {  # seg_loop <ckpt_dir> <total> <module>
   local dir=$1 total=$2 module=$3
   while true; do
@@ -85,6 +99,7 @@ seg_loop() {  # seg_loop <ckpt_dir> <total> <module>
         --save_freq "$SAVE_FREQ" \
         || { echo "$module segment failed" >&2; sleep 10; }
     fi
+    bank "$module@$(step_of "$dir")"
   done
   echo "=== $module complete at $total [$(date -u +%H:%M:%S)]" >&2
 }

@@ -71,6 +71,22 @@ run_watchdogged() {  # dead-claim watchdog + post-kill cooldown (see LM r5)
   wait "$pid"
 }
 
+bank() {  # commit the SMALL evidence files so a VM restore can only ever
+  # cost one segment of results, never the campaign's (round-5 final
+  # session lost the whole SO A/B outcome to a restore because nothing
+  # after the last manual commit was in git). Checkpoints stay out of
+  # git (orbax dirs are ~90 MB); metrics/eval reports are KBs.
+  ( cd /root/repo || exit 0
+    find experiments/tensorboard_logs -name metrics.jsonl -size -20M \
+      2>/dev/null | while read -r f; do git add -f "$f"; done
+    find experiments/checkpoints -name best_score.json 2>/dev/null \
+      | while read -r f; do git add -f "$f"; done
+    [ -d "$OUT" ] && git add -f "$OUT" 2>/dev/null
+    git diff --cached --quiet 2>/dev/null \
+      || git commit -q -m "bank: SO r5 evidence ($1)" || true
+  )
+}
+
 seg_loop() {  # seg_loop <ckpt_dir> <total> <module> [extra args...]
   local dir=$1 total=$2 module=$3; shift 3
   while true; do
@@ -88,6 +104,7 @@ seg_loop() {  # seg_loop <ckpt_dir> <total> <module> [extra args...]
         --load_checkpoint --total_iteration "$tgt" --save_freq "$SAVE_FREQ" "$@" \
         || { echo "$module segment failed" >&2; sleep 10; }
     fi
+    bank "$module@$(step_of "$dir")"
   done
   echo "=== $module complete at $total [$(date -u +%H:%M:%S)]" >&2
 }
@@ -112,4 +129,5 @@ run_watchdogged nice -n -5 python -u -m checkerpose_tpu.cli.test --cfg "$TCFG" \
 run_watchdogged nice -n -5 python -u -m checkerpose_tpu.cli.test --cfg "$TCFG" \
   --obj_name obj01 --decode_mode hard \
   --eval_output_path "$OUT/best_hard"
+bank "final-tests"
 echo "=== DONE [$(date -u +%H:%M:%S)]" >&2
