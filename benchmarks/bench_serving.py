@@ -33,6 +33,15 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # re-seed the persistent cache from the in-repo TPU program snapshot —
+    # /root/.cache does not survive a VM restore (CLAUDE.md rule 12)
+    try:
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from bench import _seed_compile_cache
+        _seed_compile_cache("/root/.cache/jax_comp_cache")
+    except Exception:
+        pass  # seeding is an optimization only
 
     from checkerpose_tpu.models import PoseNet
     from checkerpose_tpu.ops.knn import knn_index
